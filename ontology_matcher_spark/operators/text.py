@@ -1,0 +1,93 @@
+"""Text-analysis operators over a document corpus (driver-mandated
+training-data-pipeline ops): language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen'd) —
+no Python UDFs. Each operator has a DuckDB-SQL oracle in
+__spark_entry__.py, so expressions are restricted to constructs with
+exact DuckDB equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword markers for the n-gram/stopword heuristic
+#: (deterministic, self-contained — no external models)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "que", "una"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/null)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased word tokens (BPE-ish regex: alnum runs)."""
+    lowered = F.lower(F.coalesce(text, F.lit("")))
+    return F.filter(F.split(lowered, r"[^a-z0-9]+"), lambda x: x != "")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    toks = word_tokens(t)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_LANG_MARKERS["en"]))
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language heuristic → ``lang_pred`` + per-lang
+    hit counts. Ties break by fixed language order (en,de,fr,es)."""
+    toks = word_tokens(F.col(text_col))
+    out = df
+    for lang, markers in _LANG_MARKERS.items():
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long"),
+        )
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier language wins ties
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint of the normalized token stream
+    (whitespace/case/punct-insensitive). md5 hex so the DuckDB oracle
+    (md5()) reproduces it byte-for-byte; swap for xxhash64 when only
+    Spark-side equality is needed."""
+    normalized = F.array_join(word_tokens(F.col(text_col)), " ")
+    return df.withColumn("fp", F.md5(normalized))

@@ -1,0 +1,304 @@
+"""The end-to-end KG-construction plan (SURVEY.md §7 architecture).
+
+docs ──[1] mention_detect──┐
+mentions TSV ──[2] validate─┤
+                            ├─[3] candidate broadcast join
+ontology dicts (broadcast) ─┘       │
+                            [4] tie-break routing (§2.8 rules 1-4)
+                            [5] metadata enrich + format (rules 5-7)
+                            [6] CC canonicalize (large-star/small-star)
+                            [7] triples materialize (partitioned)
+
+Each numbered stage is checkpointable: `run_pipeline` writes one
+parquet table per stage under ``<out>/stages/`` plus a manifest, and a
+re-run skips completed stages (idempotent resume — the Spark analog of
+the reference's JSON checkpoint + --reformat,
+/root/reference/ontology_matcher/cli.py:127-148). Per-stage row
+counters are collected with ``df.observe`` and appended to a lineage
+table (SURVEY.md §4 item 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from ontology_matcher_spark.functions.arrays import split_pipe
+from ontology_matcher_spark.ontology_types import (
+    ONTOLOGY_TYPES,
+    OntologyType,
+    Strategy,
+)
+from ontology_matcher_spark.operators.candidates import generate_candidates
+from ontology_matcher_spark.operators.canonicalize import canonical_assignment
+from ontology_matcher_spark.operators.format_stage import format_output
+from ontology_matcher_spark.operators.validate import validate_mentions
+
+
+def link_mentions(
+    mentions: DataFrame,
+    xref_edges: DataFrame,
+    terms: DataFrame,
+    otype: OntologyType,
+    strategy: Strategy = Strategy.MIXTURE,
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 2-5: mention table → (formatted, failed_formatted)."""
+    v = validate_mentions(mentions, otype)
+    cands = generate_candidates(
+        v.where(F.col("format_reason").isNull()), xref_edges, otype, strategy
+    )
+    return format_output(cands, v, terms, otype, strategy)
+
+
+def xref_pairs(formatted: DataFrame) -> DataFrame:
+    """xref edge list implied by a formatted output (id → each xref)."""
+    return formatted.select(
+        F.col("id").alias("src"),
+        F.explode(split_pipe("xrefs")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+def build_triples(
+    formatted: DataFrame,
+    terms: DataFrame,
+    otype: OntologyType,
+    canon: DataFrame | None = None,
+) -> DataFrame:
+    """Stage 6+7: formatted output → (subj, pred, obj, label, src).
+
+    - mention → canonical-entity links (skos:exactMatch), canonical
+      chosen per xref-connected component (pass a shared ``canon``
+      node→canonical map to reuse ONE global CC across entity types —
+      see canonical_assignment_by_label);
+    - entity → xref member edges;
+    - term → parent is-a edges.
+    """
+    pairs = xref_pairs(formatted)
+    if canon is None:
+        canon = canonical_assignment(pairs, otype.default)  # node → canonical
+
+    mention_links = (
+        formatted.join(canon, formatted.id == canon.node, "left")
+        .select(
+            F.when(F.col("raw_id") != "", F.col("raw_id"))
+            .otherwise(F.col("id"))
+            .alias("subj"),
+            F.lit("skos:exactMatch").alias("pred"),
+            F.coalesce(F.col("canonical"), F.col("id")).alias("obj"),
+            F.lit(otype.type).alias("label"),
+            F.lit("linker").alias("src"),
+        )
+        .distinct()
+    )
+    xref_triples = pairs.select(
+        F.col("src").alias("subj"),
+        F.lit("xref").alias("pred"),
+        F.col("dst").alias("obj"),
+        F.lit(otype.type).alias("label"),
+        F.lit("linker").alias("src"),
+    ).distinct()
+    isa_triples = (
+        terms.where((F.col("label") == otype.type) & (F.col("parent_curie") != ""))
+        .select(
+            F.col("curie").alias("subj"),
+            F.lit("is-a").alias("pred"),
+            F.col("parent_curie").alias("obj"),
+            F.lit(otype.type).alias("label"),
+            F.lit("dictionary").alias("src"),
+        )
+        .distinct()
+    )
+    return mention_links.unionByName(xref_triples).unionByName(isa_triples)
+
+
+def build_pipeline_lazy(
+    spark: SparkSession,
+    fixture_dir: str,
+    types: list[str] | None = None,
+    strategy: Strategy = Strategy.MIXTURE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The same dataflow as run_pipeline but as ONE lazy DAG — no
+    per-stage parquet materialization. Used for throughput/scaling
+    measurement (the checkpointed variant adds constant-cost writes
+    that belong to resumability, not the engine's compute path).
+    Note: the CC loop inside canonical assignment still executes
+    eagerly (driver loop)."""
+    from ontology_matcher_spark.operators.canonicalize import (
+        canonical_assignment_by_label,
+    )
+
+    mentions = spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
+    if num_partitions:
+        mentions = mentions.repartition(num_partitions)
+    edges = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
+    terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    tnames = types or list(ONTOLOGY_TYPES)
+
+    formatted: dict[str, DataFrame] = {}
+    pairs: DataFrame | None = None
+    for tname in tnames:
+        otype = ONTOLOGY_TYPES[tname]
+        m = mentions.where(F.col("label") == tname)
+        fmt = link_mentions(m, edges, terms, otype, strategy)[0].localCheckpoint()
+        formatted[tname] = fmt
+        p = xref_pairs(fmt)
+        pairs = p if pairs is None else pairs.unionByName(p)
+
+    assert pairs is not None
+    defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
+    canon = canonical_assignment_by_label(
+        pairs, terms.select("curie", "label"), defaults
+    ).localCheckpoint()
+
+    out: DataFrame | None = None
+    for tname in tnames:
+        t = build_triples(formatted[tname], terms, ONTOLOGY_TYPES[tname], canon)
+        out = t if out is None else out.unionByName(t)
+    assert out is not None
+    return out
+
+
+# ------------------------------------------------------------------ runner
+class PipelineRun:
+    """Checkpointed, resumable multi-stage run with lineage counters."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, run_id: str | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.stage_dir = os.path.join(out_dir, "stages")
+        self.manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+        os.makedirs(self.stage_dir, exist_ok=True)
+        self.manifest = self._load_manifest()
+        self.run_id = run_id or self.manifest.get("run_id") or uuid.uuid4().hex[:12]
+        self.manifest.setdefault("run_id", self.run_id)
+        self.manifest.setdefault("stages", {})
+        self.lineage: list[dict] = []
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)  # atomic → idempotent resume
+
+    def materialize(
+        self,
+        name: str,
+        build,  # () -> DataFrame
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Run stage ``name`` unless its table already exists (resume),
+        recording wall time + row count into the lineage."""
+        path = os.path.join(self.stage_dir, name)
+        if self.manifest["stages"].get(name) == "done" and os.path.exists(path):
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        obs = Observation(f"obs_{name}_{uuid.uuid4().hex[:6]}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = obs.get.get("rows_out", -1)
+        self.lineage.append(
+            {
+                "run_id": self.run_id,
+                "stage": name,
+                "metric": "rows_out",
+                "value": int(rows),
+                "wall_ms": wall_ms,
+                "input_fingerprint": "",
+            }
+        )
+        self.manifest["stages"][name] = "done"
+        self._save_manifest()
+        return self.spark.read.parquet(path)
+
+    def flush_lineage(self) -> None:
+        if not self.lineage:
+            return
+        import pandas as pd
+
+        path = os.path.join(self.out_dir, "lineage")
+        self.spark.createDataFrame(pd.DataFrame(self.lineage)).write.mode(
+            "append"
+        ).parquet(path)
+        self.lineage = []
+
+
+def run_pipeline(
+    spark: SparkSession,
+    fixture_dir: str,
+    out_dir: str,
+    types: list[str] | None = None,
+    strategy: Strategy = Strategy.MIXTURE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full batch run over fixture tables → triples table (returned).
+
+    ``num_partitions``: explicit fan-out for the mention table. A
+    cluster-scale corpus arrives in many files and partitions
+    naturally; a single small parquet file scans as ONE task, so local
+    benchmarking must repartition or every core but one idles.
+    """
+    run = PipelineRun(spark, out_dir)
+    mentions = spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
+    if num_partitions:
+        mentions = mentions.repartition(num_partitions)
+    edges = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
+    terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+
+    from ontology_matcher_spark.operators.canonicalize import (
+        canonical_assignment_by_label,
+    )
+
+    tnames = types or list(ONTOLOGY_TYPES)
+    formatted: dict[str, DataFrame] = {}
+    for tname in tnames:
+        otype = ONTOLOGY_TYPES[tname]
+        m = mentions.where(F.col("label") == tname)
+        formatted[tname] = run.materialize(
+            f"formatted_{tname}",
+            lambda m=m, o=otype: link_mentions(m, edges, terms, o, strategy)[0],
+        )
+
+    # ONE global CC stage across all entity types (a per-type CC loop
+    # multiplies the serial driver-round latency by the type count)
+    def _canon() -> DataFrame:
+        pairs = None
+        for fmt in formatted.values():
+            p = xref_pairs(fmt)
+            pairs = p if pairs is None else pairs.unionByName(p)
+        assert pairs is not None
+        defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
+        return canonical_assignment_by_label(
+            pairs, terms.select("curie", "label"), defaults
+        )
+
+    canon = run.materialize("canonical", _canon)
+
+    def _triples() -> DataFrame:
+        out = None
+        for tname in tnames:
+            t = build_triples(formatted[tname], terms, ONTOLOGY_TYPES[tname], canon)
+            out = t if out is None else out.unionByName(t)
+        assert out is not None
+        return out
+
+    all_triples = run.materialize("triples", _triples, partition_by=["pred"])
+    run.flush_lineage()
+    return all_triples

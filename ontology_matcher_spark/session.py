@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors the knobs we would set on a real cluster:
+AQE (incl. skew-join splitting), Arrow for pandas UDFs, shuffle
+partitions ~ cores, UTC timestamps (DuckDB oracle comparison).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ontology-matcher-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the
+    sandbox). On a real cluster you'd spark-submit with --py-files and
+    leave master unset; every conf here is cluster-safe.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    # shuffle partitions ~ parallelism: avoids 200-partition default that
+    # over-parallelizes local runs and under-parallelizes big clusters.
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 2 * int(n) if n.isdigit() else 64
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_all() -> None:
+    """Tear down the active session (bench uses this between masters)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # Spark keeps a JVM-side default session; clear so a new master takes.
+    SparkSession.builder._options = {}

@@ -1,0 +1,137 @@
+"""Dedup + similarity operators: exactness of the baselines, recall of
+the approximate (LSH) paths vs the exact paths."""
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_matcher_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+)
+from ontology_matcher_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    make_planes,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # near-duplicate: mutate 2 tokens
+            mut = list(base)
+            mut[3], mut[17] = "zz1", "zz2"
+            rows.append((1000 + i, " ".join(mut)))
+        if i % 10 == 0:  # exact duplicate
+            rows.append((2000 + i, " ".join(base)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = exact_dedup(corpus).collect()
+    texts = {r["doc_id"]: r for r in out}
+    dups = [r for r in out if r["is_duplicate"]]
+    assert len(dups) == 12  # one per i % 10 == 0
+    for r in dups:
+        assert r["dup_rank"] > 1
+
+
+def test_ngram_jaccard_matches_python(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    exp = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _py_jaccard(rows[a], rows[b])
+            if j >= 0.5:
+                exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    """LSH banding must recover ≥90% of pairs with true Jaccard ≥ 0.8
+    and estimate Jaccard within 0.25."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    assert exact, "corpus must contain high-similarity pairs"
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in minhash_lsh_pairs(corpus, num_hashes=32, bands=8).collect()
+    }
+    found = [p for p in exact if p in got]
+    assert len(found) / len(exact) >= 0.9
+    for p in found:
+        assert abs(got[p] - exact[p]) <= 0.25
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_topk(df, q, k=5).collect()
+    sims = vecs @ vecs.T / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    for qi in (0, 1):
+        exp_ids = list(np.argsort(-sims[qi], kind="stable")[:5])
+        got_ids = [r["vec_id"] for r in got if r["query_id"] == qi]
+        assert got_ids == [int(x) for x in exp_ids]
+
+
+def test_lsh_neardup_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 32)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        noisy = v + rng.normal(scale=0.02, size=32).astype("float32")
+        rows.append((1000 + i, [float(x) for x in noisy]))  # near-dup pair
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = make_planes(32, n_planes=4, seed=11)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(df, planes, threshold=0.98).collect()
+    }
+    expected_pairs = {(i, 1000 + i) for i in range(40)}
+    recall = len(got & expected_pairs) / len(expected_pairs)
+    assert recall >= 0.7  # 4 hyperplanes → some bucket splits; recall bounded
+    for a, b in got:
+        assert a < b

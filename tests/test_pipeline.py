@@ -1,0 +1,69 @@
+"""End-to-end pipeline: triples emission, checkpoint/resume
+idempotence (SURVEY.md §5 item 7), lineage counters."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ontology_matcher_spark.plans.pipeline import run_pipeline
+
+
+def _triple_set(df):
+    return {
+        (r["subj"], r["pred"], r["obj"]) for r in df.select("subj", "pred", "obj").collect()
+    }
+
+
+def test_run_and_resume_idempotent(spark, fixture_dir, tmp_path):
+    out = str(tmp_path / "run1")
+    t1 = run_pipeline(spark, fixture_dir, out, types=["Gene", "Disease"])
+    s1 = _triple_set(t1)
+    assert s1, "pipeline must emit triples"
+    preds = {p for (_, p, _) in s1}
+    assert preds == {"skos:exactMatch", "xref", "is-a"}
+
+    # resume: stages already done → same triples, no recompute
+    t2 = run_pipeline(spark, fixture_dir, out, types=["Gene", "Disease"])
+    assert _triple_set(t2) == s1
+
+    # manifest recorded all stages
+    import json
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert set(manifest["stages"]) == {
+        "formatted_Gene", "formatted_Disease", "canonical", "triples",
+    }
+    assert all(v == "done" for v in manifest["stages"].values())
+
+    # lineage rows were written on the first run
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    stages = {r["stage"] for r in lineage.select("stage").collect()}
+    assert "formatted_Gene" in stages
+    assert lineage.where(F.col("value") < 0).count() == 0
+
+
+def test_triples_canonicalization(spark, bundle, fixture_dir, tmp_path):
+    """Mention links must point at the canonical member of each
+    xref-connected component (default-ns preferred)."""
+    from ontology_matcher_spark import oracle
+
+    out = str(tmp_path / "run2")
+    t = run_pipeline(spark, fixture_dir, out, types=["Gene"])
+    links = {
+        (r["subj"], r["obj"])
+        for r in t.where(F.col("pred") == "skos:exactMatch").collect()
+    }
+    assert links
+    # spot-check: resolved mentions map into their cluster's canonical set
+    clusters = bundle.clusters["Gene"]
+    by_member = {}
+    for c in clusters:
+        for m in c.members:
+            by_member[m] = c
+    for subj, obj in links:
+        c = by_member.get(subj)
+        if c is None or c.chain:
+            continue
+        # canonical must be a member of the same latent cluster
+        assert obj in c.members or obj == subj, (subj, obj, c.key)
