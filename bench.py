@@ -30,9 +30,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/omx_bench")
 
 #: scaled synthetic KG corpus (deterministic, seed 42 — no external data)
+#: sized so per-task work dominates scheduling at 32 cores — at 100k
+#: mentions local[8] BEAT local[32] (tasks were ~1.5k rows)
 BENCH_CLUSTERS = 800
-BENCH_MENTIONS = 20_000  # per type → 100k mentions
-BENCH_DOCS = 20_000
+BENCH_MENTIONS = 60_000  # per type → 300k mentions
+BENCH_DOCS = 60_000
+#: scaling-job doc replication: at ×1 the job is orchestration-bound
+#: and local[8] BEATS local[32]; ×6 (~360k docs → ~2.3M detected
+#: mentions) makes per-task compute dominate scheduling latency
+SCALING_REPLICATION = 6
 
 
 def ensure_bench_corpus() -> str:
@@ -142,7 +148,11 @@ def _run_once(master_cpus: int, corpus_dir: str) -> tuple[float, int]:
     )
     secs, n = timed(
         lambda: build_pipeline_lazy(
-            spark, corpus_dir, num_partitions=2 * master_cpus
+            spark,
+            corpus_dir,
+            num_partitions=2 * master_cpus,
+            detect_documents=True,  # docs→detect→link→CC→triples: full flow
+            replicate_docs=SCALING_REPLICATION,
         ).count()
     )
     stop_all()
@@ -195,7 +205,7 @@ def main() -> None:
     stop_all()
 
     # scaling evidence: same job, identical input, local[8] vs local[32]
-    scaling = scaling_measurement(corpus_dir, 8, 32, reps=3)
+    scaling = scaling_measurement(corpus_dir, 8, 32, reps=2)
 
     result = {
         "metric": "kg_e2e_sec",

@@ -12,19 +12,25 @@ from pyspark.sql import functions as F
 def split_pipe(col: Column | str) -> Column:
     """Pipe-joined string → array<string> with empties removed.
 
-    '' and NULL both become []."""
+    '' and NULL both become []. array_remove, not F.filter: lambda
+    higher-order functions are CodegenFallback (interpreted per row,
+    allocation-heavy) — this stays inside whole-stage codegen."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\|"), lambda x: x != "")
+    return F.array_remove(F.split(F.coalesce(c, F.lit("")), r"\|"), "")
 
 
 def sql_join_lst(arr: Column) -> Column:
     """The reference's join_lst (of.py:544-553): members may themselves
     be pipe-joined — split each on '|', flatten, dedup, SORT (replaces
     the reference's nondeterministic Python-set order), rejoin with '|'.
-    """
-    exploded = F.flatten(F.transform(arr, lambda x: F.split(x, r"\|")))
-    cleaned = F.filter(exploded, lambda x: (x != "") & x.isNotNull())
-    return F.array_join(F.array_sort(F.array_distinct(cleaned)), "|")
+
+    HOF-free formulation (hot path — runs once per output row per
+    multi-value field): members are pipe-joined strings, so joining
+    them all with '|' and splitting ONCE flattens without the
+    interpreted transform/flatten/filter chain."""
+    joined = F.array_join(arr, "|")  # skips NULL members
+    parts = F.array_remove(F.split(joined, r"\|"), "")
+    return F.array_join(F.array_sort(F.array_distinct(parts)), "|")
 
 
 def concat_unique(a: Column, b: Column) -> Column:

@@ -26,25 +26,39 @@ def salted_collect_set(
     value: Column | str,
     alias: str,
     num_salts: int = 16,
-    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Two-phase salted ``collect_set(value)`` grouped by ``keys``.
 
     Returns one row per key combination with ``alias`` =
-    sorted-distinct array of values. ``extra_aggs`` (phase-2 only
-    aggregates over phase-1 ``first`` columns) are not supported —
-    keep this operator single-purpose.
-    """
+    sorted-distinct array of values."""
     v = F.col(value) if isinstance(value, str) else value
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(v), F.lit(num_salts)))
-    partial = salted.groupBy(*keys, "__salt").agg(
-        F.collect_set(v).alias("__partial")
+    return salted_collect_sets(df, keys, {alias: v}, num_salts)
+
+
+def salted_collect_sets(
+    df: DataFrame,
+    keys: list[str],
+    values: dict[str, Column | str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Multi-column two-phase salted collect_set: ONE pair of shuffles
+    for any number of collected fields. ``values``: alias → column.
+    Each output column is the sorted-distinct array of that field's
+    values per key."""
+    cols = {
+        a: (F.col(c) if isinstance(c, str) else c) for a, c in values.items()
+    }
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*cols.values()), F.lit(num_salts))
     )
-    return (
-        partial.groupBy(*keys)
-        .agg(
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[F.collect_set(v).alias(f"__p_{a}") for a, v in cols.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
             F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("__partial")))
-            ).alias(alias)
-        )
+                F.array_distinct(F.flatten(F.collect_list(f"__p_{a}")))
+            ).alias(a)
+            for a in cols
+        ]
     )

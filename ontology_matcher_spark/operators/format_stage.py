@@ -93,11 +93,10 @@ def format_output(
         F.broadcast(md), conv.canonical == md.md_curie, "left"
     )
 
+    # candidate arrays never hold NULLs (collect_set) — array_remove
+    # keeps this codegen'd, no lambda HOF
     alias_arr = F.array_distinct(
-        F.filter(
-            F.concat(*[F.col(c) for c in non_default_cols]),
-            lambda x: x.isNotNull() & (x != ""),
-        )
+        F.array_remove(F.concat(*[F.col(c) for c in non_default_cols]), "")
     )
     nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731  ''→NULL
     conv = (

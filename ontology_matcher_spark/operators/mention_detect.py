@@ -66,7 +66,12 @@ def normalize_text(s: str) -> str:
 def build_dictionary(terms_rows: list[dict]) -> dict[str, Any]:
     """Driver-side build of the matching dictionary from term rows
     (dicts with curie/name/synonyms). Broadcast the RESULT, not the
-    term list."""
+    term list.
+
+    Surfaces are indexed by FIRST TOKEN: the scan only materializes an
+    n-gram when the head token hits the index, which makes the common
+    (non-matching) position O(1) instead of O(max_tokens) string
+    builds. ahocorasick (if importable) would subsume this."""
     surface_map: dict[str, list[tuple[str, str]]] = defaultdict(list)
     curie_set: set[str] = set()
     for t in terms_rows:
@@ -78,11 +83,20 @@ def build_dictionary(terms_rows: list[dict]) -> dict[str, Any]:
             ns = normalize_text(syn)
             if ns and ns != n:
                 surface_map[ns].append((t["curie"], "synonym"))
-    max_len = max((len(s.split()) for s in surface_map), default=1)
+    # head-token index: first token → [(token_tuple, surface, hits)]
+    head_index: dict[str, list[tuple[tuple[str, ...], str, list]]] = defaultdict(list)
+    max_len = 1
+    for surface, hits in surface_map.items():
+        toks = tuple(surface.split())
+        if len(toks) > _MAX_SURFACE_TOKENS:
+            continue
+        max_len = max(max_len, len(toks))
+        head_index[toks[0]].append((toks, surface, hits))
     return {
         "surfaces": dict(surface_map),
+        "head_index": dict(head_index),
         "curies": curie_set,
-        "max_tokens": min(max_len, _MAX_SURFACE_TOKENS),
+        "max_tokens": max_len,
     }
 
 
@@ -96,19 +110,20 @@ def _scan_text(
         curie = m.group(0)
         if curie in d["curies"]:
             out.append((curie, curie, "exact-id"))
-    # name/synonym: token n-grams over normalized text
+    # name/synonym: head-token index over normalized token stream —
+    # O(1) per non-matching position, n-gram built only on head hits
     tokens = normalize_text(text).split()
-    surfaces = d["surfaces"]
-    kmax = d["max_tokens"]
-    for i in range(len(tokens)):
-        for k in range(1, kmax + 1):
-            if i + k > len(tokens):
-                break
-            gram = " ".join(tokens[i : i + k])
-            hits = surfaces.get(gram)
-            if hits:
+    head_index = d["head_index"]
+    n = len(tokens)
+    for i in range(n):
+        cands = head_index.get(tokens[i])
+        if not cands:
+            continue
+        for toks, surface, hits in cands:
+            k = len(toks)
+            if i + k <= n and tuple(tokens[i : i + k]) == toks:
                 for curie, mtype in hits:
-                    out.append((gram, curie, mtype))
+                    out.append((surface, curie, mtype))
     return out
 
 

@@ -30,9 +30,10 @@ def token_count(text: Column) -> Column:
 
 
 def word_tokens(text: Column) -> Column:
-    """Lowercased word tokens (BPE-ish regex: alnum runs)."""
+    """Lowercased word tokens (BPE-ish regex: alnum runs).
+    array_remove, not F.filter — stays in whole-stage codegen."""
     lowered = F.lower(F.coalesce(text, F.lit("")))
-    return F.filter(F.split(lowered, r"[^a-z0-9]+"), lambda x: x != "")
+    return F.array_remove(F.split(lowered, r"[^a-z0-9]+"), "")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -117,12 +117,58 @@ def build_triples(
     return mention_links.unionByName(xref_triples).unionByName(isa_triples)
 
 
+def detected_mentions_df(
+    spark: SparkSession,
+    documents: DataFrame,
+    terms: DataFrame,
+) -> DataFrame:
+    """Stage [1]: interleaved documents → mention-table rows.
+
+    Dictionary detection (Arrow mapInPandas, broadcast automaton),
+    best candidate per (doc, span, surface) via the tie-break ladder,
+    then shaped like the reference's mention table so stages [2..7]
+    apply unchanged. idx is offset by 10^12 so a user-supplied mention
+    row always wins the first-row-wins record lookup."""
+    from ontology_matcher_spark.operators.mention_detect import (
+        best_candidate_per_mention,
+        build_dictionary,
+        detect_mentions,
+    )
+
+    term_rows = [
+        r.asDict()
+        for r in terms.select("curie", "name", "synonyms").collect()
+    ]
+    bc = spark.sparkContext.broadcast(build_dictionary(term_rows))
+    best = best_candidate_per_mention(detect_mentions(documents, bc))
+    labels = terms.select(
+        F.col("curie").alias("id"), F.col("label").alias("t_label")
+    ).groupBy("id").agg(F.min("t_label").alias("t_label"))
+    return (
+        best.join(F.broadcast(labels), "id", "left")
+        .select(
+            "id",
+            F.col("surface").alias("name"),
+            F.coalesce("t_label", F.lit("")).alias("label"),
+            F.lit("detector").alias("resource"),
+            F.lit("").alias("description"),
+            F.lit("").alias("synonyms"),
+            F.lit("").alias("pmids"),
+            F.lit("").alias("taxid"),
+            F.lit("").alias("xrefs"),
+            (F.lit(10**12) + F.monotonically_increasing_id()).alias("idx"),
+        )
+    )
+
+
 def build_pipeline_lazy(
     spark: SparkSession,
     fixture_dir: str,
     types: list[str] | None = None,
     strategy: Strategy = Strategy.MIXTURE,
     num_partitions: int | None = None,
+    detect_documents: bool = False,
+    replicate_docs: int = 1,
 ) -> DataFrame:
     """The same dataflow as run_pipeline but as ONE lazy DAG — no
     per-stage parquet materialization. Used for throughput/scaling
@@ -139,16 +185,44 @@ def build_pipeline_lazy(
         mentions = mentions.repartition(num_partitions)
     edges = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
     terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    if detect_documents:
+        docs = spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+        if replicate_docs > 1:
+            # corpus scale-up by replication with re-suffixed ids
+            # (FIXTURES.md: "bench base, then ×replication")
+            docs = docs.withColumn(
+                "__rep",
+                F.explode(F.array(*[F.lit(i) for i in range(replicate_docs)])),
+            ).withColumn(
+                "doc_id", F.concat_ws("#", "doc_id", "__rep")
+            ).drop("__rep")
+        if num_partitions:
+            docs = docs.repartition(num_partitions)
+        # checkpoint: the union feeds FIVE per-type link DAGs — without
+        # materialization each one re-runs the Python detection scan
+        detected = detected_mentions_df(spark, docs, terms).localCheckpoint()
+        mentions = mentions.unionByName(detected)
     tnames = types or list(ONTOLOGY_TYPES)
 
-    formatted: dict[str, DataFrame] = {}
-    pairs: DataFrame | None = None
-    for tname in tnames:
+    # materialize the per-type linking DAGs CONCURRENTLY: each
+    # localCheckpoint is a separate Spark job; sequential submission
+    # leaves most cores idle between job tails (a ~1min serial floor
+    # at bench scale). Spark's scheduler interleaves concurrent jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _link(tname: str) -> tuple[str, DataFrame]:
         otype = ONTOLOGY_TYPES[tname]
         m = mentions.where(F.col("label") == tname)
-        fmt = link_mentions(m, edges, terms, otype, strategy)[0].localCheckpoint()
-        formatted[tname] = fmt
-        p = xref_pairs(fmt)
+        return tname, link_mentions(m, edges, terms, otype, strategy)[
+            0
+        ].localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=len(tnames)) as pool:
+        formatted = dict(pool.map(_link, tnames))
+
+    pairs: DataFrame | None = None
+    for tname in tnames:
+        p = xref_pairs(formatted[tname])
         pairs = p if pairs is None else pairs.unionByName(p)
 
     assert pairs is not None

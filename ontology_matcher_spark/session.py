@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # shuffle/checkpoint scratch on tmpfs: the sandbox's /tmp disk
+        # writes at ~128 MB/s, which caps multi-core scaling — 32
+        # concurrent shuffle writers saturate it (a real cluster pairs
+        # executors with local NVMe; tmpfs is the sandbox analog)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

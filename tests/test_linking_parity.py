@@ -29,8 +29,13 @@ def _load(spark, fixture_dir, name):
     return spark.read.parquet(os.path.join(fixture_dir, f"{name}.parquet"))
 
 
-@pytest.mark.parametrize("tname", list(ONTOLOGY_TYPES))
-@pytest.mark.parametrize("strategy", [Strategy.MIXTURE, Strategy.UNIQUE])
+_COMBOS = [(t, Strategy.MIXTURE) for t in ONTOLOGY_TYPES] + [
+    ("Gene", Strategy.UNIQUE),
+    ("Disease", Strategy.UNIQUE),  # UNIQUE path is type-independent code
+]
+
+
+@pytest.mark.parametrize("tname,strategy", _COMBOS)
 def test_formatted_parity(spark, bundle, fixture_dir, tname, strategy):
     otype = ONTOLOGY_TYPES[tname]
     mentions_py = [m for m in bundle.mentions if m["label"] == tname]

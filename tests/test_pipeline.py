@@ -43,6 +43,27 @@ def test_run_and_resume_idempotent(spark, fixture_dir, tmp_path):
     assert lineage.where(F.col("value") < 0).count() == 0
 
 
+def test_lazy_equals_checkpointed(spark, fixture_dir, tmp_path):
+    """build_pipeline_lazy (single DAG, concurrent link jobs) must
+    produce exactly the checkpointed run_pipeline's triples."""
+    from ontology_matcher_spark.plans.pipeline import build_pipeline_lazy
+
+    out = str(tmp_path / "ckpt_run")
+    ckpt = _triple_set(run_pipeline(spark, fixture_dir, out))
+    lazy = _triple_set(build_pipeline_lazy(spark, fixture_dir))
+    assert lazy == ckpt
+
+
+def test_lazy_with_detection_adds_mentions(spark, fixture_dir):
+    from ontology_matcher_spark.plans.pipeline import build_pipeline_lazy
+
+    base = build_pipeline_lazy(spark, fixture_dir).count()
+    with_det = build_pipeline_lazy(
+        spark, fixture_dir, detect_documents=True
+    ).count()
+    assert with_det > base
+
+
 def test_triples_canonicalization(spark, bundle, fixture_dir, tmp_path):
     """Mention links must point at the canonical member of each
     xref-connected component (default-ns preferred)."""
