@@ -1,0 +1,203 @@
+"""User-facing CLI — the Spark analog of the reference's `onto-match`
+entry points (/root/reference/ontology_matcher/cli.py:55-330):
+
+  ontology  — convert ontology ids: mention TSV/CSV → formatted TSV
+              (+ .failed.tsv, optional .json), cli.py:55-165
+  dedup     — find duplicated ids in a formatted TSV and merge them,
+              cli.py:168-296
+  idtypes   — list the accepted id namespaces of a type, cli.py:299-312
+  template  — write an input-file template, cli.py:315-330
+  pipeline  — full KG build (docs+mentions → triples), the distributed
+              superset the reference has no analog for
+
+No network: where the reference fetches dictionaries from MyGene/
+MyDisease/OLS4 at match time, we join against a local dictionary
+directory holding `xref_edges.parquet` and `ontology_terms.parquet`
+(the same tables a real deployment materializes once from the raw
+ontology releases — see operators/dictionary_build.py).
+
+argparse, not click (click is not a guaranteed dependency here);
+option names mirror the reference's long forms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ontology_matcher_spark.ontology_types import ONTOLOGY_TYPES, Strategy
+
+#: template rows per type — verbatim from the reference's
+#: <type>/custom_types.py generate_template bodies (symptom ships
+#: header-only; its example rows are commented out in the reference)
+_TEMPLATE_ROWS: dict[str, list[str]] = {
+    "Disease": [
+        "DOID:4001\tovarian carcinoma\tDisease\tDOID",
+        "MESH:D015673\tFatigue Syndrom, Chronic\tDisease\tDOID",
+    ],
+    "Gene": [
+        "ENTREZ:7157\ttumor protein p53\tGene\tENTREZ",
+        "ENTREZ:7100\ttoll like receptor 5\tGene\tENTREZ",
+        "HGNC:11998\targinine vasopressin\tGene\tHGNC",
+    ],
+    "Compound": [
+        "DrugBank:DB01628\tETORICOXIB\tCompound\tDrugBank",
+        "DrugBank:DB01627\tLincomycin\tCompound\tDrugBank",
+    ],
+    "Metabolite": [
+        "HMDB:HMDB0003345\talpha-D-Glucose\tMetabolite\tHMDB",
+    ],
+    "Symptom": [],
+}
+
+
+def _get_spark(args):
+    from ontology_matcher_spark.session import get_spark
+
+    return get_spark("onto-match-spark", master=args.master)
+
+
+def cmd_idtypes(args) -> int:
+    otype = ONTOLOGY_TYPES[args.ontology_type]
+    print("\n".join(otype.choices))
+    return 0
+
+
+def cmd_template(args) -> int:
+    os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
+    with open(args.output_file, "w") as f:
+        f.write("id\tname\tlabel\tresource\n")
+        for row in _TEMPLATE_ROWS[args.ontology_type]:
+            f.write(row + "\n")
+    return 0
+
+
+def cmd_ontology(args) -> int:
+    from ontology_matcher_spark.operators.link_multi import link_mentions_multi
+    from ontology_matcher_spark.sources.io import read_mentions, write_formatted
+
+    spark = _get_spark(args)
+    mentions = read_mentions(spark, args.input_file)
+    if args.ontology_type:
+        types = {args.ontology_type: ONTOLOGY_TYPES[args.ontology_type]}
+        # the reference's per-type command ignores the label column;
+        # we honor the declared type for every row of the file
+        from pyspark.sql import functions as F
+
+        mentions = mentions.withColumn("label", F.lit(args.ontology_type))
+    else:
+        types = ONTOLOGY_TYPES
+    edges = spark.read.parquet(os.path.join(args.dictionary, "xref_edges.parquet"))
+    terms = spark.read.parquet(
+        os.path.join(args.dictionary, "ontology_terms.parquet")
+    )
+    strategy = Strategy(args.strategy)
+    formatted, failed = link_mentions_multi(mentions, edges, terms, types, strategy)
+    write_formatted(
+        formatted,
+        failed,
+        args.output_file,
+        single_file=not args.multi_file,
+        json_path=(
+            args.output_file.rsplit(".", 1)[0] + ".json" if args.json else None
+        ),
+    )
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    from ontology_matcher_spark.operators.dedup_entities import dedup_entities
+    from ontology_matcher_spark.sources.io import _write_tsv, read_mentions
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark(args)
+    formatted = read_mentions(spark, args.input_file)
+    if "raw_id" not in formatted.columns:
+        formatted = formatted.withColumn("raw_id", F.lit(""))
+    otype = ONTOLOGY_TYPES[args.ontology_type]
+    out = dedup_entities(formatted, otype)
+    _write_tsv(out, args.output_file, single_file=not args.multi_file)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from ontology_matcher_spark.plans.pipeline import run_pipeline
+
+    spark = _get_spark(args)
+    triples = run_pipeline(
+        spark,
+        args.fixtures,
+        args.out,
+        strategy=Strategy(args.strategy),
+        num_partitions=args.num_partitions,
+    )
+    print(f"triples: {triples.count()}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="onto-match-spark",
+        description="PySpark-native ontology matcher / KG builder",
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    po = sub.add_parser("ontology", help="Convert ontology ids.")
+    po.add_argument("--input-file", "-i", required=True)
+    po.add_argument("--output-file", "-o", required=True)
+    po.add_argument(
+        "--ontology-type", "-O", choices=sorted(ONTOLOGY_TYPES), default=None,
+        help="Restrict to one type (default: route per the label column)",
+    )
+    po.add_argument("--dictionary", "-D", required=True,
+                    help="Dir with xref_edges.parquet + ontology_terms.parquet")
+    po.add_argument("--strategy", "-s", choices=[s.value for s in Strategy],
+                    default=Strategy.MIXTURE.value)
+    po.add_argument("--json", action="store_true",
+                    help="Also write a JSON-lines export of the formatted rows")
+    po.add_argument("--multi-file", action="store_true",
+                    help="Write a part-file directory instead of one TSV")
+    po.set_defaults(fn=cmd_ontology)
+
+    pd = sub.add_parser(
+        "dedup", help="Find the duplicated ids and merge them into one."
+    )
+    pd.add_argument("--input-file", "-i", required=True)
+    pd.add_argument("--output-file", "-o", required=True)
+    pd.add_argument("--ontology-type", "-O", choices=sorted(ONTOLOGY_TYPES),
+                    required=True)
+    pd.add_argument("--multi-file", action="store_true")
+    pd.set_defaults(fn=cmd_dedup)
+
+    pi = sub.add_parser("idtypes", help="Which ID types are supported.")
+    pi.add_argument("--ontology-type", "-O", choices=sorted(ONTOLOGY_TYPES),
+                    required=True)
+    pi.set_defaults(fn=cmd_idtypes)
+
+    pt = sub.add_parser("template", help="Generate input file template")
+    pt.add_argument("--output-file", "-o", required=True)
+    pt.add_argument("--ontology-type", "-O", choices=sorted(ONTOLOGY_TYPES),
+                    required=True)
+    pt.set_defaults(fn=cmd_template)
+
+    pp = sub.add_parser("pipeline", help="Full KG build → triples parquet")
+    pp.add_argument("--fixtures", required=True,
+                    help="Dir with mentions/xref_edges/ontology_terms parquet")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--strategy", choices=[s.value for s in Strategy],
+                    default=Strategy.MIXTURE.value)
+    pp.add_argument("--num-partitions", type=int, default=None)
+    pp.set_defaults(fn=cmd_pipeline)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

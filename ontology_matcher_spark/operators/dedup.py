@@ -117,20 +117,36 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
     signature → ``bands`` bands of ``num_hashes/bands`` rows; docs
     sharing any band-hash are candidates. Output: (id_a, id_b,
-    jaccard_est) with id_a < id_b, deduped across bands."""
+    jaccard_est) with id_a < id_b, deduped across bands.
+
+    ``max_bucket``: optionally drop (band, hash) buckets wider than
+    this many DISTINCT signatures (hot-bucket guard at scale)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k_shingle)
 
+    # collapse signature-identical docs FIRST (exact duplicates above
+    # all): one row per distinct signature enters the banded join, so a
+    # k-wide duplicate group costs 1 join row instead of O(k²) bucket
+    # blow-up; member pairs are re-expanded afterwards (est = 1.0
+    # within a group — identical signatures). The expansion is linear
+    # in OUTPUT pairs, which is optimal.
+    grp = sig.groupBy("sig").agg(
+        F.min("id").alias("id"),
+        F.sort_array(F.collect_list("id")).alias("members"),
+    )
+
     # band hash = xxhash64 over the band's signature rows (multi-arg
     # xxhash64 over element_at — stays in codegen, no lambdas)
-    banded = sig.select(
+    banded = grp.select(
         "id",
         "sig",
+        "members",
         F.explode(
             F.array(
                 *[
@@ -148,11 +164,21 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        "id", "sig", "members",
+        F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+    )
 
     # materialize signatures once — the self-join would otherwise
     # recompute the shingle→signature aggregation for BOTH sides
     banded = banded.localCheckpoint()
+    if max_bucket is not None:
+        # hot-bucket guard for adversarial/boilerplate corpora: drop
+        # (band, hash) buckets wider than max_bucket — they contribute
+        # O(bucket²) candidates and (being boilerplate) little signal
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__bn"))
+        keep = sizes.where(F.col("__bn") <= max_bucket).select("band", "bh")
+        banded = banded.join(F.broadcast(keep), ["band", "bh"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -167,6 +193,8 @@ def minhash_lsh_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
+            F.col("a.members").alias("members_a"),
+            F.col("b.members").alias("members_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -177,16 +205,47 @@ def minhash_lsh_pairs(
                 lambda v: v == 1,
             )
         )
-        / F.lit(len(range(num_hashes)))
+        / F.lit(num_hashes)
     )
-    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
+    cross = (
+        pairs.select(est.alias("jaccard_est"), "members_a", "members_b")
+        .select("jaccard_est", F.explode("members_a").alias("ma"), "members_b")
+        .select("jaccard_est", "ma", F.explode("members_b").alias("mb"))
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard_est",
+        )
+    )
+    intra = (
+        grp.where(F.size("members") > 1)
+        .select(F.explode("members").alias("ma"), "members")
+        .select("ma", F.explode("members").alias("mb"))
+        .where(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # -------------------------------------------------------------- simhash
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash over word tokens: sign-sum of per-token hash bits.
+#: signature width cap: the assembled signature is a BIGINT literal sum
+#: of 2^i terms; 2^62 is the largest power-of-two long literal whose
+#: positive sum stays in range under ANSI mode (2^63 overflows — it
+#: threw NumberFormatException on expression construction at round 1).
+SIMHASH_MAX_BITS = 62
 
-    Expressed with aggregate over the token array — codegen'd."""
+
+def simhash(text: Column, bits: int = SIMHASH_MAX_BITS) -> Column:
+    """SimHash over word tokens: sign-sum of per-token hash bits,
+    assembled into one BIGINT. Array-lambda form for ad-hoc column use;
+    prefer `simhash_signatures` (explode + codegen'd sums) in hot
+    paths — higher-order functions evaluate interpreted."""
+    if not 1 <= bits <= SIMHASH_MAX_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_MAX_BITS}], got {bits}")
     toks = word_tokens(text)
     bit_cols = []
     for i in range(bits):
@@ -196,12 +255,100 @@ def simhash(text: Column, bits: int = 64) -> Column:
             lambda acc, t: acc
             + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bit_cols.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
-    # sum of set bits → 64-bit signature (bits capped at 62 to stay in long)
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**i)
+        )
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_MAX_BITS,
+) -> DataFrame:
+    """(id, sim: bigint) via explode + ``bits`` codegen'd SUM aggregates
+    (map-side partial agg) — the 100 TB shape, mirroring
+    `minhash_signatures`: the shuffle carries ``bits`` ints per doc and
+    the sums combine locally; no interpreted higher-order functions."""
+    if not 1 <= bits <= SIMHASH_MAX_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_MAX_BITS}], got {bits}")
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"c{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("sim"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_MAX_BITS,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the ``bits``-wide signature into
+    ``n_blocks`` contiguous blocks; any pair with hamming distance
+    < n_blocks must agree on at least one whole block, so candidate
+    generation is an equi-join on (block_idx, block_value) — never the
+    O(n²) cross product. Requires n_blocks > max_hamming for 100%
+    recall. Verification = bit_count(xor) ≤ max_hamming, codegen'd.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for pigeonhole recall"
+        )
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    width = bits // n_blocks
+    blocks = []
+    for j in range(n_blocks):
+        lo = j * width
+        w = bits - lo if j == n_blocks - 1 else width  # last block takes remainder
+        blocks.append(
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftright(F.col("sim"), lo).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+            )
+        )
+    banded = sig.select(
+        "id", "sim", F.explode(F.array(*blocks)).alias("bb")
+    ).select("id", "sim", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    banded = banded.localCheckpoint()  # signatures computed once, not per join side
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ngram_jaccard_pairs(
@@ -210,16 +357,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over inverted-index candidates: explode
     shingles → self-join on shingle (co-occurrence counts) → Jaccard
     from |A∩B| / (|A|+|B|-|A∩B|). Never materializes the cross
-    product; shuffle keys are shingles (hot shingles are bounded by
-    doc frequency — drop the top percentile as stopword-shingles at
-    scale)."""
+    product; shuffle keys are shingles.
+
+    ``max_shingle_df``: drop shingles whose document frequency exceeds
+    this cap BEFORE the self-join (stopword-shingle guard — a shingle
+    in d docs yields O(d²) join rows; boilerplate shingles dominate at
+    scale and carry no discriminative signal). With the cap set the
+    Jaccard is computed over the surviving shingle universe on BOTH
+    the intersection and the set sizes, so it remains a true Jaccard
+    of the filtered sets; None (default) = exact."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
     )
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        keep = dfreq.where(F.col("__df") <= max_shingle_df).select("s")
+        sh = sh.join(keep, "s", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

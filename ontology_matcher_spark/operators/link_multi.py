@@ -166,23 +166,58 @@ def link_mentions_multi(
     wide = wide.select(
         "*", *[F.size(cand(ns)).alias(sz(ns)) for ns in all_ns]
     )
+
+    # flatten the per-type "any non-own namespace has >1 candidates"
+    # predicate into ONE plain boolean column per type, in its own
+    # projection, BEFORE the routing when-ladder. Nesting the
+    # greatest-over-whens trees directly inside the reason ladder sent
+    # Catalyst constraint propagation exponential (UNIQUE plans hung
+    # >9 min in the optimizer at round 1); ladders over flat boolean
+    # attributes are linear.
+    type_names = list(types)
+    def am(tname: str) -> str:
+        return f"am_{type_names.index(tname)}"
+
+    am_cols = [
+        (
+            F.greatest(
+                *[
+                    F.when(F.col("ns") == ns, F.lit(0)).otherwise(F.col(sz(ns)))
+                    for ns in otype.choices
+                ]
+            )
+            > 1
+        ).alias(am(tname))
+        for tname, otype in types.items()
+    ]
+    wide = wide.select("*", *am_cols)
+
     default_arr = _label_case(types, lambda o: F.col(cand(o.default)))
     multi_default = _label_case(
         types,
         lambda o: (F.col("ns") != o.default) & (F.col(sz(o.default)) > 1),
     )
-    any_multi = _label_case(
+    any_multi = None
+    for tname in type_names:
+        branch = (F.col("label") == tname) & F.col(am(tname))
+        any_multi = branch if any_multi is None else (any_multi | branch)
+    alias_arr = _label_case(
         types,
-        lambda o: F.greatest(
-            *[
-                F.when(F.col("ns") == ns, F.lit(0)).otherwise(F.col(sz(ns)))
-                for ns in o.choices
-            ]
-        )
-        > 1,
+        lambda o: F.array_distinct(
+            F.array_remove(
+                F.concat(*[F.col(cand(ns)) for ns in o.non_default]), ""
+            )
+        ),
     )
+    # prune to a NARROW row here: every cand_*/sz_*/am_* column dies at
+    # this projection, so the joins/unions downstream optimize over ~8
+    # columns instead of ~70 nested case-when trees (the wide plan was
+    # the other half of the round-1 optimizer blow-up)
     wide = wide.select(
-        "*",
+        "idx",
+        "raw_id",
+        "ns",
+        "label",
         F.when(F.col("n_hits") == 0, F.lit(R_NO_RESULTS))
         .when(multi_default, F.lit(R_MULTI))
         .when(
@@ -191,6 +226,7 @@ def link_mentions_multi(
         )
         .alias("reason"),
         default_arr.alias("cand_default"),
+        alias_arr.alias("aliases"),
     )
 
     # ---- records: first input row per (label, id) --------------------
@@ -225,14 +261,6 @@ def link_mentions_multi(
     )
     conv = conv.join(F.broadcast(md), conv.canonical == md.md_curie, "left")
 
-    alias_arr = _label_case(
-        types,
-        lambda o: F.array_distinct(
-            F.array_remove(
-                F.concat(*[F.col(cand(ns)) for ns in o.non_default]), ""
-            )
-        ),
-    )
     nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
     resolved = F.col("canonical").isNotNull()
     formatted_conv = (
@@ -250,7 +278,7 @@ def link_mentions_multi(
         .withColumn("o_pmids", sql_join_lst(split_pipe("r_pmids")))
         .withColumn(
             "o_xrefs",
-            sql_join_lst(concat_unique(alias_arr, split_pipe("r_xrefs"))),
+            sql_join_lst(concat_unique(F.col("aliases"), split_pipe("r_xrefs"))),
         )
         .select(
             F.when(resolved, F.col("canonical")).otherwise(F.col("raw_id")).alias("id"),

@@ -117,6 +117,56 @@ def build_triples(
     return mention_links.unionByName(xref_triples).unionByName(isa_triples)
 
 
+def build_triples_multi(
+    formatted: DataFrame,
+    terms: DataFrame,
+    labels: list[str],
+    canon: DataFrame,
+) -> DataFrame:
+    """Stage 6+7 over a MIXED-label formatted table in one plan —
+    the single-pass counterpart of per-type build_triples (the mention
+    table and formatted output are each scanned once for all entity
+    types; at 10^12 docs the per-type loop's five scans are the
+    bottleneck, not the compute)."""
+    pairs = formatted.select(
+        F.col("id").alias("src"),
+        "label",
+        F.explode(split_pipe("xrefs")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mention_links = (
+        formatted.join(canon, formatted.id == canon.node, "left")
+        .select(
+            F.when(F.col("raw_id") != "", F.col("raw_id"))
+            .otherwise(formatted.id)
+            .alias("subj"),
+            F.lit("skos:exactMatch").alias("pred"),
+            F.coalesce(F.col("canonical"), formatted.id).alias("obj"),
+            "label",
+            F.lit("linker").alias("src"),
+        )
+        .distinct()
+    )
+    xref_triples = pairs.select(
+        F.col("src").alias("subj"),
+        F.lit("xref").alias("pred"),
+        F.col("dst").alias("obj"),
+        "label",
+        F.lit("linker").alias("src"),
+    ).distinct()
+    isa_triples = (
+        terms.where(F.col("label").isin(labels) & (F.col("parent_curie") != ""))
+        .select(
+            F.col("curie").alias("subj"),
+            F.lit("is-a").alias("pred"),
+            F.col("parent_curie").alias("obj"),
+            "label",
+            F.lit("dictionary").alias("src"),
+        )
+        .distinct()
+    )
+    return mention_links.unionByName(xref_triples).unionByName(isa_triples)
+
+
 def detected_mentions_df(
     spark: SparkSession,
     documents: DataFrame,
@@ -203,40 +253,26 @@ def build_pipeline_lazy(
         detected = detected_mentions_df(spark, docs, terms).localCheckpoint()
         mentions = mentions.unionByName(detected)
     tnames = types or list(ONTOLOGY_TYPES)
+    sel_types = {t: ONTOLOGY_TYPES[t] for t in tnames}
 
-    # materialize the per-type linking DAGs CONCURRENTLY: each
-    # localCheckpoint is a separate Spark job; sequential submission
-    # leaves most cores idle between job tails (a ~1min serial floor
-    # at bench scale). Spark's scheduler interleaves concurrent jobs.
-    from concurrent.futures import ThreadPoolExecutor
+    # ONE single-pass multi-type linking DAG (link_mentions_multi):
+    # the mention table is scanned once for all entity types — the
+    # round-1 per-type ThreadPoolExecutor variant scanned it five
+    # times and its five concurrent jobs' serial tails capped scaling
+    # efficiency at 0.19. formatted feeds BOTH the CC pass and the
+    # triple build → one localCheckpoint.
+    from ontology_matcher_spark.operators.link_multi import link_mentions_multi
 
-    def _link(tname: str) -> tuple[str, DataFrame]:
-        otype = ONTOLOGY_TYPES[tname]
-        m = mentions.where(F.col("label") == tname)
-        return tname, link_mentions(m, edges, terms, otype, strategy)[
-            0
-        ].localCheckpoint()
+    mentions = mentions.where(F.col("label").isin(tnames))
+    formatted = link_mentions_multi(
+        mentions, edges, terms, sel_types, strategy
+    )[0].localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=len(tnames)) as pool:
-        formatted = dict(pool.map(_link, tnames))
-
-    pairs: DataFrame | None = None
-    for tname in tnames:
-        p = xref_pairs(formatted[tname])
-        pairs = p if pairs is None else pairs.unionByName(p)
-
-    assert pairs is not None
     defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
     canon = canonical_assignment_by_label(
-        pairs, terms.select("curie", "label"), defaults
+        xref_pairs(formatted), terms.select("curie", "label"), defaults
     ).localCheckpoint()
-
-    out: DataFrame | None = None
-    for tname in tnames:
-        t = build_triples(formatted[tname], terms, ONTOLOGY_TYPES[tname], canon)
-        out = t if out is None else out.unionByName(t)
-    assert out is not None
-    return out
+    return build_triples_multi(formatted, terms, tnames, canon)
 
 
 # ------------------------------------------------------------------ runner
@@ -340,39 +376,40 @@ def run_pipeline(
         canonical_assignment_by_label,
     )
 
+    from ontology_matcher_spark.operators.link_multi import link_mentions_multi
+
     tnames = types or list(ONTOLOGY_TYPES)
-    formatted: dict[str, DataFrame] = {}
-    for tname in tnames:
-        otype = ONTOLOGY_TYPES[tname]
-        m = mentions.where(F.col("label") == tname)
-        formatted[tname] = run.materialize(
-            f"formatted_{tname}",
-            lambda m=m, o=otype: link_mentions(m, edges, terms, o, strategy)[0],
-        )
+    sel_types = {t: ONTOLOGY_TYPES[t] for t in tnames}
+
+    # ONE single-pass multi-type linking stage (mention table scanned
+    # once for all entity types), partitioned by label so per-type
+    # consumers prune partitions on read
+    formatted = run.materialize(
+        "formatted",
+        lambda: link_mentions_multi(
+            mentions.where(F.col("label").isin(tnames)),
+            edges,
+            terms,
+            sel_types,
+            strategy,
+        )[0],
+        partition_by=["label"],
+    )
 
     # ONE global CC stage across all entity types (a per-type CC loop
     # multiplies the serial driver-round latency by the type count)
     def _canon() -> DataFrame:
-        pairs = None
-        for fmt in formatted.values():
-            p = xref_pairs(fmt)
-            pairs = p if pairs is None else pairs.unionByName(p)
-        assert pairs is not None
         defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
         return canonical_assignment_by_label(
-            pairs, terms.select("curie", "label"), defaults
+            xref_pairs(formatted), terms.select("curie", "label"), defaults
         )
 
     canon = run.materialize("canonical", _canon)
 
-    def _triples() -> DataFrame:
-        out = None
-        for tname in tnames:
-            t = build_triples(formatted[tname], terms, ONTOLOGY_TYPES[tname], canon)
-            out = t if out is None else out.unionByName(t)
-        assert out is not None
-        return out
-
-    all_triples = run.materialize("triples", _triples, partition_by=["pred"])
+    all_triples = run.materialize(
+        "triples",
+        lambda: build_triples_multi(formatted, terms, tnames, canon),
+        partition_by=["pred"],
+    )
     run.flush_lineage()
     return all_triples

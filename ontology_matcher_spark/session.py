@@ -38,6 +38,12 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # Catalyst's constraint-propagation rule is worst-case
+        # exponential over nested case-when trees — exactly the shape
+        # of our label-conditional routing ladders (a UNIQUE-strategy
+        # plan hung >9 min in the OPTIMIZER at round 1; filters still
+        # push down via the other rules). The conf exists for this.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

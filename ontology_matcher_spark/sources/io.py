@@ -19,8 +19,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ontology_matcher_spark.schemas import MENTIONS
-
 REQUIRED_COLUMNS = ["id", "name", "label", "resource"]
 OPTIONAL_COLUMNS = ["description", "synonyms", "pmids", "taxid", "xrefs"]
 
@@ -39,12 +37,10 @@ def read_mentions(spark: SparkSession, path: str) -> DataFrame:
     all-string, null-id rows dropped, NaN→'' (ref of.py:537-540)."""
     if path.endswith((".tsv", ".csv")):
         sep = "\t" if path.endswith(".tsv") else ","
-        df = (
-            spark.read.option("sep", sep)
-            .option("header", True)
-            .schema(MENTIONS)
-            .csv(path)
-        )
+        # no inferSchema → every column reads as string (the reference
+        # reads dtype=str); extra columns (smiles, semantic_types, …)
+        # are tolerated on input and dropped at output projection
+        df = spark.read.option("sep", sep).option("header", True).csv(path)
     else:
         df = spark.read.parquet(path)
     check_format(df)
@@ -56,16 +52,71 @@ def read_mentions(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_formatted(
-    formatted: DataFrame, failed: DataFrame, out_path: str
-) -> None:
-    """Formatted TSV + .failed.tsv sink (parity export; pipe-joined
-    fields are already strings at this point)."""
+def _write_tsv(df: DataFrame, out_path: str, single_file: bool) -> None:
+    """Distributed TSV write (executors write; NOTHING is collected to
+    the driver). ``single_file`` coalesces to one task and renames the
+    part file to ``out_path`` — the reference-parity layout for small
+    outputs; leave False at scale for a part-file directory."""
+    import glob
+    import shutil
+
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    formatted.toPandas().to_csv(out_path, sep="\t", index=False)
-    failed.toPandas().to_csv(
-        out_path.rsplit(".", 1)[0] + ".failed.tsv", sep="\t", index=False
-    )
+    if not single_file:
+        df.write.mode("overwrite").option("sep", "\t").option(
+            "header", True
+        ).csv(out_path)
+        return
+    tmp = out_path + "._spark_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+        "header", True
+    ).csv(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    if parts:
+        os.replace(parts[0], out_path)
+    else:  # zero-row frame may emit no part file — still write the header
+        with open(out_path, "w") as f:
+            f.write("\t".join(df.columns) + "\n")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_formatted(
+    formatted: DataFrame,
+    failed: DataFrame,
+    out_path: str,
+    single_file: bool = True,
+    json_path: str | None = None,
+) -> None:
+    """Formatted TSV + .failed.tsv sink (S9, reference
+    ontology_formatter.py:792-815; pipe-joined fields are already
+    strings at this point) + optional JSON export of the formatted rows
+    (the reference's save_to_json analog, ontology_formatter.py:777-790)."""
+    _write_tsv(formatted, out_path, single_file)
+    _write_tsv(failed, out_path.rsplit(".", 1)[0] + ".failed.tsv", single_file)
+    if json_path is not None:
+        write_formatted_json(formatted, json_path, single_file)
+
+
+def write_formatted_json(
+    formatted: DataFrame, json_path: str, single_file: bool = True
+) -> None:
+    """JSON-lines export of a formatted frame (distributed write)."""
+    import glob
+    import shutil
+
+    os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+    if not single_file:
+        formatted.write.mode("overwrite").json(json_path)
+        return
+    tmp = json_path + "._spark_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    formatted.coalesce(1).write.mode("overwrite").json(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    if parts:
+        os.replace(parts[0], json_path)
+    else:
+        open(json_path, "w").close()
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------- tables

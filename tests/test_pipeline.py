@@ -31,15 +31,13 @@ def test_run_and_resume_idempotent(spark, fixture_dir, tmp_path):
 
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         manifest = json.load(f)
-    assert set(manifest["stages"]) == {
-        "formatted_Gene", "formatted_Disease", "canonical", "triples",
-    }
+    assert set(manifest["stages"]) == {"formatted", "canonical", "triples"}
     assert all(v == "done" for v in manifest["stages"].values())
 
     # lineage rows were written on the first run
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     stages = {r["stage"] for r in lineage.select("stage").collect()}
-    assert "formatted_Gene" in stages
+    assert "formatted" in stages
     assert lineage.where(F.col("value") < 0).count() == 0
 
 
