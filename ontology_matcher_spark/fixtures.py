@@ -134,6 +134,24 @@ def _emit_terms_edges(bundle: FixtureBundle, otype: OntologyType, seed: int) -> 
     prev_default: str | None = None
     for ci, c in enumerate(clusters):
         members = c.members
+        # gene-mode metadata (SURVEY.md §2.7 gene overrides): a SYMBOL
+        # per cluster (empty every 7th → exercises the raw-name
+        # fallback), summary-style description that is empty every 5th
+        # (exercises the NO-raw-fallback rule), cluster-level taxid
+        symbol = ""
+        if otype.metadata_mode == "gene" and ci % 7 != 2:
+            symbol = (c.name.split()[0][:4] + str(ci)).upper()
+        desc = f"{c.label} entity {c.name} ({c.key})"
+        if otype.metadata_mode == "gene" and ci % 5 == 1:
+            desc = ""
+        # MyDisease-style metadata xrefs on the default head: ids in
+        # EXTERNAL namespaces (ORDO/EXT — outside every type's choices,
+        # like the reference's ORDO:94065) that flow into output xrefs
+        md_xrefs_head = (
+            [f"ORDO:{9_990_000 + ci}", f"EXT:{otype.type[:3]}{ci}"]
+            if otype.metadata_mode == "default" and ci % 4 == 0
+            else []
+        )
         # term rows: one per member curie
         for m in members:
             ns, local = m.split(":", 1)
@@ -150,8 +168,10 @@ def _emit_terms_edges(bundle: FixtureBundle, otype: OntologyType, seed: int) -> 
                     "name": c.name,
                     "normalized_name": _normalize(c.name),
                     "synonyms": c.synonyms,
-                    "description": f"{c.label} entity {c.name} ({c.key})",
+                    "description": desc,
                     "taxid": ("9606" if ci % 2 == 0 else "10090") if otype.type == "Gene" else "",
+                    "symbol": symbol,
+                    "xrefs": md_xrefs_head if is_default_head else [],
                     "parent_curie": parent,
                 }
             )
@@ -298,6 +318,7 @@ def write_parquet(bundle: FixtureBundle, outdir: str) -> None:
                  ("label", pa.string()), ("name", pa.string()),
                  ("normalized_name", pa.string()), ("synonyms", pa.list_(pa.string())),
                  ("description", pa.string()), ("taxid", pa.string()),
+                 ("symbol", pa.string()), ("xrefs", pa.list_(pa.string())),
                  ("parent_curie", pa.string())]
             ),
         ),

@@ -30,7 +30,7 @@ def sql_join_lst(arr: Column) -> Column:
     interpreted transform/flatten/filter chain."""
     joined = F.array_join(arr, "|")  # skips NULL members
     parts = F.array_remove(F.split(joined, r"\|"), "")
-    return F.array_join(F.array_sort(F.array_distinct(parts)), "|")
+    return F.array_join(F.sort_array(F.array_distinct(parts)), "|")
 
 
 def concat_unique(a: Column, b: Column) -> Column:

@@ -56,7 +56,7 @@ def salted_collect_sets(
     )
     return partial.groupBy(*keys).agg(
         *[
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list(f"__p_{a}")))
             ).alias(a)
             for a in cols

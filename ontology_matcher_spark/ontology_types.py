@@ -30,6 +30,15 @@ class OntologyType:
     type: str
     default: str  # canonical id namespace
     choices: tuple[str, ...] = field(default_factory=tuple)
+    #: metadata-enrichment semantics at the format stage:
+    #: - "default": name/description fall back md→raw, synonyms =
+    #:   md ∪ raw, taxid = raw (default_format_by_metadata,
+    #:   /root/reference/ontology_matcher/ontology_formatter.py:656-673)
+    #: - "gene": SYMBOL→name (falling back md name→raw name),
+    #:   summary→description (NO raw fallback), taxid from metadata,
+    #:   synonyms = alias+other_names ∪ {md name} ∪ raw
+    #:   (/root/reference/ontology_matcher/gene/__init__.py:332-354)
+    metadata_mode: str = "default"
 
     @property
     def non_default(self) -> tuple[str, ...]:
@@ -42,7 +51,10 @@ DISEASE = OntologyType(
     ("MONDO", "DOID", "MESH", "OMIM", "ICD-9", "HP", "ICD10CM", "Orphanet", "UMLS"),
 )
 GENE = OntologyType(
-    "Gene", "ENTREZ", ("ENTREZ", "ENSEMBL", "HGNC", "MGI", "SYMBOL", "UNIPROT")
+    "Gene",
+    "ENTREZ",
+    ("ENTREZ", "ENSEMBL", "HGNC", "MGI", "SYMBOL", "UNIPROT"),
+    metadata_mode="gene",
 )
 COMPOUND = OntologyType(
     "Compound",

@@ -58,7 +58,7 @@ def generate_candidates(
     )
 
     aggs = [
-        F.array_sort(
+        F.sort_array(
             F.collect_set(
                 F.when(F.col("dst_ns") == ns, F.col("dst_curie"))
             )

@@ -17,8 +17,17 @@ in functions/salting.py for the collect-type final aggregation (A8).
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ontology_matcher_spark.functions.materialize import (
+    drop_materialized,
+    materialize_at,
+    scratch_root,
+)
 
 
 def _sym(e: DataFrame) -> DataFrame:
@@ -39,14 +48,20 @@ def connected_components(
     """Undirected CC → DataFrame(node, root) where root = the
     lexicographically smallest member of the node's component
     (self-rows included for every node appearing in ``edges``)."""
+    spark = edges.sparkSession
+    run_dir = os.path.join(scratch_root(spark), f"cc-{uuid.uuid4().hex[:8]}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    all_nodes = _sym(e).select(F.col("u").alias("node")).distinct().localCheckpoint()
+    all_nodes = materialize_at(
+        _sym(e).select(F.col("u").alias("node")).distinct(),
+        os.path.join(run_dir, "nodes"),
+    )
     prev_sig: tuple | None = None
-    for _ in range(max_iter):
+    prev_path: str | None = None
+    for rnd in range(max_iter):
         # ---- large-star: attach bigger neighbours to min neighbour
         n = _sym(e).distinct()
         m = _min_neighbor(n)
@@ -61,19 +76,34 @@ def connected_components(
         t = _sym(e).where(F.col("u") >= F.col("v")).distinct()
         m = _min_neighbor(t)
         joined = t.join(m, "u")
-        e = (
+        # cut lineage each round; previous round's table is dropped as
+        # soon as this round is materialized (no storage-memory leak).
+        # The convergence signature rides the WRITE via observe() —
+        # bit_xor (not sum: ANSI mode overflows a sum of hashes) is
+        # order-independent — so each round costs exactly ONE action
+        # (the driver-loop latency is the pipeline's serial floor).
+        from pyspark.sql.observation import Observation
+
+        obs = Observation(f"cc_sig_{rnd}")
+        path = os.path.join(run_dir, f"round-{rnd}")
+        e = materialize_at(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()  # cut lineage each round
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+                ).alias("h"),
+            ),
+            path,
         )
-        # bit_xor (not sum): Spark 4 runs ANSI mode, a sum of hashes
-        # overflows long; xor is order-independent and overflow-free
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
+        if prev_path:
+            drop_materialized(prev_path)
+        prev_path = path
+        row = obs.get
         sig = (row["n"], row["h"])
         if sig == prev_sig:
             break

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ontology_matcher_spark.functions.materialize import materialize
 from ontology_matcher_spark.operators.text import word_tokens
 
 # ------------------------------------------------------------------ exact
@@ -171,7 +172,7 @@ def minhash_lsh_pairs(
 
     # materialize signatures once — the self-join would otherwise
     # recompute the shingle→signature aggregation for BOTH sides
-    banded = banded.localCheckpoint()
+    banded = materialize(banded, "mh-banded")
     if max_bucket is not None:
         # hot-bucket guard for adversarial/boilerplate corpora: drop
         # (band, hash) buckets wider than max_bucket — they contribute
@@ -332,7 +333,7 @@ def simhash_neardup_pairs(
     banded = sig.select(
         "id", "sim", F.explode(F.array(*blocks)).alias("bb")
     ).select("id", "sim", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
-    banded = banded.localCheckpoint()  # signatures computed once, not per join side
+    banded = materialize(banded, "sh-banded")  # signatures computed once, not per join side
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

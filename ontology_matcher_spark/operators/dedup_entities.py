@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ontology_matcher_spark.functions.arrays import split_pipe, sql_join_lst
+from ontology_matcher_spark.functions.materialize import materialize
 from ontology_matcher_spark.functions.salting import salted_collect_sets
 from ontology_matcher_spark.ontology_types import OntologyType
 from ontology_matcher_spark.schemas import FORMATTED_COLUMNS
@@ -94,7 +95,7 @@ def dedup_entities(
     # the input plan is referenced ~6× (xref/syn/name indexes + two
     # joins back + final agg) — materialize once or an un-checkpointed
     # upstream (e.g. the whole linking pipeline) recomputes every time
-    formatted = formatted.localCheckpoint()
+    formatted = materialize(formatted, "dedup-fmt")
     matches = match_unofficial(formatted, otype)
     one = matches.where(F.col("n_matches") == 1).select(
         F.col("u_id").alias("one_id"), F.element_at("o_ids", 1).alias("target_id")

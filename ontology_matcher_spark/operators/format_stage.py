@@ -43,6 +43,80 @@ _RECORD_COLS = [
 ]
 
 
+_EMPTY_ARR = "array<string>"
+
+
+def metadata_table(terms: DataFrame) -> DataFrame:
+    """Term dictionary → md_-prefixed metadata columns for the
+    canonical-id broadcast join. Tolerates dictionaries without the
+    gene/xref metadata columns (pre-round-2 tables)."""
+    cols = set(terms.columns)
+    sym = F.col("symbol") if "symbol" in cols else F.lit("")
+    tax = F.col("taxid") if "taxid" in cols else F.lit("")
+    xr = (
+        F.col("xrefs") if "xrefs" in cols else F.array().cast(_EMPTY_ARR)
+    )
+    return terms.select(
+        F.col("curie").alias("md_curie"),
+        F.col("name").alias("md_name"),
+        F.col("description").alias("md_description"),
+        F.col("synonyms").alias("md_synonyms"),
+        sym.alias("md_symbol"),
+        tax.alias("md_taxid"),
+        xr.alias("md_xrefs"),
+    )
+
+
+def metadata_exprs(mode: str, alias_arr) -> dict:
+    """Output-column expressions for one metadata mode over a frame
+    carrying r_* (raw record) and md_* (dictionary) columns.
+
+    - "default" (ontology_formatter.py:656-673): name/description fall
+      back md→raw; synonyms = md ∪ raw; taxid = raw; xrefs =
+      alias ids ∪ md xrefs ∪ raw xrefs.
+    - "gene" (gene/__init__.py:332-354): name = SYMBOL, else md name,
+      else raw; description = md summary with NO raw fallback (an
+      empty summary yields ""); taxid from metadata; synonyms =
+      (alias+other_names =) md synonyms ∪ {md name} ∪ raw.
+    Metadata applies only when the canonical id matched a term row
+    (md_found) — the reference skips format_by_metadata when the
+    metadata dict is empty (ontology_formatter.py:699-700)."""
+    nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731  ''→NULL
+    md_found = F.col("md_curie").isNotNull()
+    empty = F.array().cast(_EMPTY_ARR)
+    md_xr = F.coalesce(F.col("md_xrefs"), empty)
+    md_syn = F.coalesce(F.col("md_synonyms"), empty)
+    xrefs = sql_join_lst(
+        concat_unique(concat_unique(alias_arr, md_xr), split_pipe("r_xrefs"))
+    )
+    if mode == "gene":
+        md_name_arr = F.when(
+            md_found & (F.col("md_name") != ""), F.array(F.col("md_name"))
+        ).otherwise(empty)
+        return {
+            "name": F.coalesce(nn("md_symbol"), nn("md_name"), F.col("r_name")),
+            "description": F.when(
+                md_found, F.coalesce(nn("md_description"), F.lit(""))
+            ).otherwise(F.col("r_description")),
+            "taxid": F.when(
+                md_found, F.coalesce(nn("md_taxid"), F.lit(""))
+            ).otherwise(F.col("r_taxid")),
+            "synonyms": sql_join_lst(
+                concat_unique(
+                    concat_unique(md_syn, md_name_arr), split_pipe("r_synonyms")
+                )
+            ),
+            "xrefs": xrefs,
+        }
+    return {
+        "name": F.coalesce(nn("md_name"), F.col("r_name")),
+        "description": F.coalesce(nn("md_description"), F.col("r_description")),
+        "taxid": F.col("r_taxid"),
+        "synonyms": sql_join_lst(concat_unique(md_syn, split_pipe("r_synonyms"))),
+        "xrefs": xrefs,
+    }
+
+
 def first_records(mentions_idx: DataFrame) -> DataFrame:
     """raw_id → first input row (all columns r_-prefixed)."""
     w = Window.partitionBy("id").orderBy("idx")
@@ -83,14 +157,10 @@ def format_output(
     )
     conv = conv.withColumn("canonical", canonical)
 
-    md = terms.select(
-        F.col("curie").alias("md_curie"),
-        F.col("name").alias("md_name"),
-        F.col("description").alias("md_description"),
-        F.col("synonyms").alias("md_synonyms"),
-    )
     conv = conv.join(
-        F.broadcast(md), conv.canonical == md.md_curie, "left"
+        F.broadcast(metadata_table(terms)),
+        conv.canonical == F.col("md_curie"),
+        "left",
     )
 
     # candidate arrays never hold NULLs (collect_set) — array_remove
@@ -98,24 +168,14 @@ def format_output(
     alias_arr = F.array_distinct(
         F.array_remove(F.concat(*[F.col(c) for c in non_default_cols]), "")
     )
-    nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731  ''→NULL
+    o = metadata_exprs(otype.metadata_mode, alias_arr)
     conv = (
-        conv.withColumn("o_name", F.coalesce(nn("md_name"), F.col("r_name")))
-        .withColumn(
-            "o_description",
-            F.coalesce(nn("md_description"), F.col("r_description")),
-        )
-        .withColumn(
-            "o_synonyms",
-            sql_join_lst(
-                concat_unique(F.col("md_synonyms"), split_pipe("r_synonyms"))
-            ),
-        )
+        conv.withColumn("o_name", o["name"])
+        .withColumn("o_description", o["description"])
+        .withColumn("o_synonyms", o["synonyms"])
+        .withColumn("o_taxid", o["taxid"])
         .withColumn("o_pmids", sql_join_lst(split_pipe("r_pmids")))
-        .withColumn(
-            "o_xrefs",
-            sql_join_lst(concat_unique(alias_arr, split_pipe("r_xrefs"))),
-        )
+        .withColumn("o_xrefs", o["xrefs"])
     )
 
     resolved = F.col("canonical").isNotNull()
@@ -127,7 +187,7 @@ def format_output(
         F.col("o_description").alias("description"),
         F.col("o_synonyms").alias("synonyms"),
         F.col("o_pmids").alias("pmids"),
-        F.col("r_taxid").alias("taxid"),
+        F.col("o_taxid").alias("taxid"),
         F.col("o_xrefs").alias("xrefs"),
         F.when(resolved, F.col("raw_id")).otherwise(F.lit("")).alias("raw_id"),
     )

@@ -21,7 +21,7 @@ asserts multi(union) == ∪_t per_type(t) row-for-row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ontology_matcher_spark.functions.arrays import (
@@ -73,9 +73,6 @@ def link_mentions_multi(
     all_ns: list[str] = sorted({ns for t in types.values() for ns in t.choices})
     ns_idx = {ns: i for i, ns in enumerate(all_ns)}
 
-    def cand(ns: str) -> str:
-        return f"cand_{ns_idx[ns]}"
-
     # ---- validate (label-conditional CURIE check) --------------------
     df = mentions
     if "idx" not in df.columns:
@@ -109,115 +106,108 @@ def link_mentions_multi(
     )
     valid = df.where(F.col("format_reason").isNull())
 
-    # ---- ONE broadcast candidate join + ONE aggregation --------------
-    edges = xref_edges.where(F.col("dst_ns").isin(all_ns)).select(
-        "src_curie", "dst_ns", "dst_curie"
+    # ---- ONE broadcast candidate join + ONE NARROW aggregation -------
+    # The round-1 shape collected 22 per-namespace ARRAYS per mention
+    # (22 ArrayBuffer agg states × millions of groups → allocation/GC
+    # storm: the agg stage measured 413 core-s runtime for 218 core-s
+    # of CPU). The routing rules only need per-namespace COUNTS (long
+    # buffers) plus exactly TWO arrays: the row's-type DEFAULT-ns
+    # candidates and its non-default alias candidates. The dictionary
+    # is pre-distinct'd so counts equal the reference's set sizes.
+    edges = (
+        xref_edges.where(F.col("dst_ns").isin(all_ns))
+        .select("src_curie", "dst_ns", "dst_curie")
+        .distinct()
     )
     m = valid.select("idx", F.col("id").alias("raw_id"), "ns", F.col("label").alias("mlabel"))
     joined = m.join(F.broadcast(edges), m.raw_id == edges.src_curie, "left")
 
-    # n_hits counts distance-1 neighbours in the MENTION's type's
-    # namespaces only (per-type "No results found" semantics);
-    # keyed on mlabel — the joined frame carries label as mlabel
+    # per-row derived flags (flat columns BEFORE the agg; ladders over
+    # flat attributes are linear in Catalyst, nested ones exploded its
+    # constraint propagation at round 1)
+    label_default = None
     in_choices = None
     for tname, otype in types.items():
-        b = F.when(
-            (F.col("mlabel") == tname)
-            & F.col("dst_ns").isin(list(otype.choices)),
-            1,
-        )
+        is_t = F.col("mlabel") == tname
+        b = F.when(is_t & F.col("dst_ns").isin(list(otype.choices)), 1)
         in_choices = b if in_choices is None else in_choices.when(
-            (F.col("mlabel") == tname)
-            & F.col("dst_ns").isin(list(otype.choices)),
-            1,
+            is_t & F.col("dst_ns").isin(list(otype.choices)), 1
         )
-
-    aggs = [
-        F.array_sort(
-            F.collect_set(F.when(F.col("dst_ns") == ns, F.col("dst_curie")))
-        ).alias(cand(ns))
-        for ns in all_ns
-    ]
-    wide = joined.groupBy("idx", "raw_id", "ns", "mlabel").agg(
-        F.sum(F.coalesce(in_choices, F.lit(0))).alias("n_hits"), *aggs
+        d = F.when(is_t, F.lit(otype.default))
+        label_default = d if label_default is None else label_default.when(
+            is_t, F.lit(otype.default)
+        )
+    joined = joined.select(
+        "idx", "raw_id", "ns", "mlabel", "dst_ns", "dst_curie",
+        F.coalesce(in_choices, F.lit(0)).alias("in_choices"),
+        label_default.alias("ldefault"),
     )
 
-    # one select, not a withColumn-per-namespace loop: chained
-    # withColumns nest projections and blow up Catalyst analysis
-    # (the 22-column variant OOM'd the driver on plan alone)
-    own = {
-        ns: F.when(F.col("ns") == ns, F.array(F.col("raw_id"))).otherwise(
-            F.col(cand(ns))
-        ).alias(cand(ns))
-        for ns in all_ns
-    }
-    wide = wide.select(
-        "idx", "raw_id", "ns", F.col("mlabel").alias("label"), "n_hits",
-        *own.values(),
-    )
-
-    # flatten sizes to plain int columns FIRST: routing ladders over
-    # nested size(case-when(array)) trees sent Catalyst's constraint
-    # propagation exponential (the optimizer hung; ladders over flat
-    # attributes are linear)
     def sz(ns: str) -> str:
         return f"sz_{ns_idx[ns]}"
 
-    wide = wide.select(
-        "*", *[F.size(cand(ns)).alias(sz(ns)) for ns in all_ns]
-    )
-
-    # flatten the per-type "any non-own namespace has >1 candidates"
-    # predicate into ONE plain boolean column per type, in its own
-    # projection, BEFORE the routing when-ladder. Nesting the
-    # greatest-over-whens trees directly inside the reason ladder sent
-    # Catalyst constraint propagation exponential (UNIQUE plans hung
-    # >9 min in the optimizer at round 1); ladders over flat boolean
-    # attributes are linear.
-    type_names = list(types)
-    def am(tname: str) -> str:
-        return f"am_{type_names.index(tname)}"
-
-    am_cols = [
-        (
-            F.greatest(
-                *[
-                    F.when(F.col("ns") == ns, F.lit(0)).otherwise(F.col(sz(ns)))
-                    for ns in otype.choices
-                ]
-            )
-            > 1
-        ).alias(am(tname))
-        for tname, otype in types.items()
+    # n_hits counts distance-1 neighbours in the MENTION's type's
+    # namespaces only (per-type "No results found" semantics)
+    count_aggs = [
+        F.sum(
+            F.when(F.col("dst_ns") == ns, 1).otherwise(0)
+        ).alias(sz(ns))
+        for ns in all_ns
     ]
-    wide = wide.select("*", *am_cols)
-
-    default_arr = _label_case(types, lambda o: F.col(cand(o.default)))
-    multi_default = _label_case(
-        types,
-        lambda o: (F.col("ns") != o.default) & (F.col(sz(o.default)) > 1),
-    )
-    any_multi = None
-    for tname in type_names:
-        branch = (F.col("label") == tname) & F.col(am(tname))
-        any_multi = branch if any_multi is None else (any_multi | branch)
-    alias_arr = _label_case(
-        types,
-        lambda o: F.array_distinct(
-            F.array_remove(
-                F.concat(*[F.col(cand(ns)) for ns in o.non_default]), ""
+    wide = joined.groupBy("idx", "raw_id", "ns", "mlabel", "ldefault").agg(
+        F.sum("in_choices").alias("n_hits"),
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("dst_ns") == F.col("ldefault"), F.col("dst_curie"))
             )
-        ),
+        ).alias("cand_default_raw"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    (F.col("in_choices") == 1)
+                    & (F.col("dst_ns") != F.col("ldefault"))
+                    & (F.col("dst_ns") != F.col("ns")),
+                    F.col("dst_curie"),
+                )
+            )
+        ).alias("alias_collected"),
+        *count_aggs,
     )
-    # prune to a NARROW row here: every cand_*/sz_*/am_* column dies at
-    # this projection, so the joins/unions downstream optimize over ~8
-    # columns instead of ~70 nested case-when trees (the wide plan was
-    # the other half of the round-1 optimizer blow-up)
+
+    # own-namespace override (the reference maps a mention's own
+    # namespace to [raw_id] itself, replacing any same-ns xrefs):
+    #  - default candidates: [raw_id] when the mention IS in the
+    #    default namespace, else the collected default-ns set;
+    #  - aliases: collected non-default/non-own candidates, plus
+    #    raw_id when the mention's own namespace is non-default.
+    own_is_default = F.col("ns") == F.col("ldefault")
+    default_arr = F.when(own_is_default, F.array(F.col("raw_id"))).otherwise(
+        F.col("cand_default_raw")
+    )
+    alias_arr = F.when(
+        own_is_default, F.col("alias_collected")
+    ).otherwise(F.array_union(F.col("alias_collected"), F.array(F.col("raw_id"))))
+
+    # routing predicates from flat count columns: a candidate count in
+    # any non-own namespace of the row's type > 1
+    multi_default = ~own_is_default & (
+        _label_case(types, lambda o: F.col(sz(o.default))) > 1
+    )
+    any_multi = _label_case(
+        types,
+        lambda o: F.greatest(
+            *[
+                F.when(F.col("ns") == ns, F.lit(0)).otherwise(F.col(sz(ns)))
+                for ns in o.choices
+            ]
+        )
+        > 1,
+    )
     wide = wide.select(
         "idx",
         "raw_id",
         "ns",
-        "label",
+        F.col("mlabel").alias("label"),
         F.when(F.col("n_hits") == 0, F.lit(R_NO_RESULTS))
         .when(multi_default, F.lit(R_MULTI))
         .when(
@@ -230,17 +220,22 @@ def link_mentions_multi(
     )
 
     # ---- records: first input row per (label, id) --------------------
-    w = Window.partitionBy("label", "id").orderBy("idx")
-    records = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            F.col("label").alias("r_key_label"),
-            *[
-                F.coalesce(F.col(c), F.lit("")).alias(f"r_{c}")
-                for c in _RECORD_COLS
-            ],
-        )
+    # min_by(struct, idx), not a row_number window: the agg combines
+    # map-side (no per-partition sort, no full shuffle of losers) —
+    # the first-row-wins lookup over 10^12 mentions is itself a big agg
+    records = df.groupBy(F.col("label").alias("r_key_label"), "id").agg(
+        F.min_by(
+            F.struct(
+                *[
+                    F.coalesce(F.col(c), F.lit("")).alias(c)
+                    for c in _RECORD_COLS
+                ]
+            ),
+            F.col("idx"),
+        ).alias("__r")
+    ).select(
+        "r_key_label",
+        *[F.col(f"__r.{c}").alias(f"r_{c}") for c in _RECORD_COLS],
     )
 
     conv = wide.where(F.col("reason").isNull())
@@ -253,33 +248,38 @@ def link_mentions_multi(
         "canonical",
         F.when(F.size("cand_default") == 1, F.element_at("cand_default", 1)),
     )
-    md = terms.select(
-        F.col("curie").alias("md_curie"),
-        F.col("name").alias("md_name"),
-        F.col("description").alias("md_description"),
-        F.col("synonyms").alias("md_synonyms"),
+    from ontology_matcher_spark.operators.format_stage import (
+        metadata_exprs,
+        metadata_table,
     )
-    conv = conv.join(F.broadcast(md), conv.canonical == md.md_curie, "left")
 
-    nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
+    conv = conv.join(
+        F.broadcast(metadata_table(terms)),
+        conv.canonical == F.col("md_curie"),
+        "left",
+    )
+
+    # per-label metadata semantics: one expression per output column,
+    # switching by metadata_mode (flat label test — no nesting)
+    gene_labels = [t for t, o in types.items() if o.metadata_mode == "gene"]
+    dflt = metadata_exprs("default", F.col("aliases"))
+    gene = metadata_exprs("gene", F.col("aliases"))
+
+    def o(col: str) -> Column:
+        if not gene_labels:
+            return dflt[col]
+        return F.when(F.col("label").isin(gene_labels), gene[col]).otherwise(
+            dflt[col]
+        )
+
     resolved = F.col("canonical").isNotNull()
     formatted_conv = (
-        conv.withColumn("o_name", F.coalesce(nn("md_name"), F.col("r_name")))
-        .withColumn(
-            "o_description",
-            F.coalesce(nn("md_description"), F.col("r_description")),
-        )
-        .withColumn(
-            "o_synonyms",
-            sql_join_lst(
-                concat_unique(F.col("md_synonyms"), split_pipe("r_synonyms"))
-            ),
-        )
+        conv.withColumn("o_name", o("name"))
+        .withColumn("o_description", o("description"))
+        .withColumn("o_synonyms", o("synonyms"))
+        .withColumn("o_taxid", o("taxid"))
         .withColumn("o_pmids", sql_join_lst(split_pipe("r_pmids")))
-        .withColumn(
-            "o_xrefs",
-            sql_join_lst(concat_unique(F.col("aliases"), split_pipe("r_xrefs"))),
-        )
+        .withColumn("o_xrefs", o("xrefs"))
         .select(
             F.when(resolved, F.col("canonical")).otherwise(F.col("raw_id")).alias("id"),
             F.col("o_name").alias("name"),
@@ -288,7 +288,7 @@ def link_mentions_multi(
             F.col("o_description").alias("description"),
             F.col("o_synonyms").alias("synonyms"),
             F.col("o_pmids").alias("pmids"),
-            F.col("r_taxid").alias("taxid"),
+            F.col("o_taxid").alias("taxid"),
             F.col("o_xrefs").alias("xrefs"),
             F.when(resolved, F.col("raw_id")).otherwise(F.lit("")).alias("raw_id"),
         )

@@ -168,10 +168,32 @@ def format_output(
         elif isinstance(default_val, list) and len(default_val) == 1:
             canonical = default_val[0]
         metadata = term_by_curie.get(canonical) if canonical else None
+        md_xrefs: list = []
         if metadata:
-            new["name"] = metadata.get("name") or new["name"]
-            new["description"] = metadata.get("description") or new["description"]
-            new["synonyms"] = concat(metadata.get("synonyms", []), new["synonyms"])
+            if otype.metadata_mode == "gene":
+                # gene/__init__.py:332-354: SYMBOL→name, summary→
+                # description (no raw fallback), taxid from metadata,
+                # synonyms = alias+other_names ∪ {md name} ∪ raw
+                new["name"] = (
+                    metadata.get("symbol")
+                    or metadata.get("name")
+                    or new["name"]
+                )
+                new["description"] = metadata.get("description") or ""
+                new["taxid"] = metadata.get("taxid") or ""
+                syn = list(metadata.get("synonyms", []))
+                if metadata.get("name"):
+                    syn.append(metadata["name"])
+                new["synonyms"] = concat(syn, new["synonyms"])
+            else:
+                new["name"] = metadata.get("name") or new["name"]
+                new["description"] = (
+                    metadata.get("description") or new["description"]
+                )
+                new["synonyms"] = concat(
+                    metadata.get("synonyms", []), new["synonyms"]
+                )
+            md_xrefs = list(metadata.get("xrefs", []) or [])
 
         alias = []
         for ns in otype.choices:
@@ -183,7 +205,7 @@ def format_output(
             elif isinstance(v, str):
                 alias.append(v)
         alias = [a for a in dict.fromkeys(alias) if a]
-        xrefs = concat(alias, new["xrefs"])
+        xrefs = concat(concat(alias, md_xrefs), new["xrefs"])
 
         new["synonyms"] = join_lst(new["synonyms"])
         new["pmids"] = join_lst(new["pmids"])

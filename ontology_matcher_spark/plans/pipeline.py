@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
 from ontology_matcher_spark.functions.arrays import split_pipe
+from ontology_matcher_spark.functions.materialize import materialize
 from ontology_matcher_spark.ontology_types import (
     ONTOLOGY_TYPES,
     OntologyType,
@@ -248,9 +249,10 @@ def build_pipeline_lazy(
             ).drop("__rep")
         if num_partitions:
             docs = docs.repartition(num_partitions)
-        # checkpoint: the union feeds FIVE per-type link DAGs — without
-        # materialization each one re-runs the Python detection scan
-        detected = detected_mentions_df(spark, docs, terms).localCheckpoint()
+        # materialize: the linking DAG references the mention frame
+        # several times (valid/records/failed branches) — without
+        # materialization each branch re-runs the Python detection scan
+        detected = materialize(detected_mentions_df(spark, docs, terms), "detected")
         mentions = mentions.unionByName(detected)
     tnames = types or list(ONTOLOGY_TYPES)
     sel_types = {t: ONTOLOGY_TYPES[t] for t in tnames}
@@ -260,18 +262,20 @@ def build_pipeline_lazy(
     # round-1 per-type ThreadPoolExecutor variant scanned it five
     # times and its five concurrent jobs' serial tails capped scaling
     # efficiency at 0.19. formatted feeds BOTH the CC pass and the
-    # triple build → one localCheckpoint.
+    # triple build → one materialization.
     from ontology_matcher_spark.operators.link_multi import link_mentions_multi
 
     mentions = mentions.where(F.col("label").isin(tnames))
     formatted = link_mentions_multi(
         mentions, edges, terms, sel_types, strategy
-    )[0].localCheckpoint()
+    )[0]
+    formatted = materialize(formatted, "formatted")
 
     defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
     canon = canonical_assignment_by_label(
         xref_pairs(formatted), terms.select("curie", "label"), defaults
-    ).localCheckpoint()
+    )
+    canon = materialize(canon, "canon")
     return build_triples_multi(formatted, terms, tnames, canon)
 
 

@@ -64,9 +64,11 @@ ONTOLOGY_TERMS = _st(
     _f("label", S, False),       # entity type
     _f("name", S),
     _f("normalized_name", S),
-    _f("synonyms", A),
-    _f("description", S),
+    _f("synonyms", A),           # gene: alias + other_names (MyGene)
+    _f("description", S),        # gene: summary (MyGene)
     _f("taxid", S),
+    _f("symbol", S),             # gene SYMBOL ("" for other types)
+    _f("xrefs", A),              # metadata xrefs (MyDisease-style)
     _f("parent_curie", S),  # same-namespace is-a parent ("" = root)
 )
 

@@ -63,7 +63,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # any multi-JVM master (local-cluster, spark://, yarn) runs Python
+    # workers that don't share the driver's sys.path — ship the package
+    if not master.startswith("local["):
+        ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship ontology_matcher_spark to executors — the programmatic
+    analog of `spark-submit --py-files pkg.zip` (the north rule's
+    deployment contract). Local[] mode shares the driver's sys.path;
+    separate executor JVMs (local-cluster / standalone / yarn) need
+    the package on every worker's PYTHONPATH."""
+    import tempfile
+    import zipfile
+
+    import ontology_matcher_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ontology_matcher_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "ontology_matcher_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
 
 
 def stop_all() -> None:

@@ -1,0 +1,125 @@
+"""CLI entry points + file sources/sinks (SURVEY.md §2.1 S1-S3, S9).
+
+Exercises the reference's user-facing surface: template generation,
+idtypes listing, TSV read semantics (null-id drop, NaN fill, extra
+columns tolerated), the ontology command end-to-end against the
+fixture dictionary, and the distributed TSV/JSON sinks."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_matcher_spark.cli import main
+from ontology_matcher_spark.sources.io import read_mentions, write_formatted
+
+
+@pytest.fixture(scope="module")
+def mention_tsv(spark, fixture_dir, tmp_path_factory):
+    """Fixture mentions as a reference-shaped TSV (plus junk rows that
+    the reader must drop/normalize, and an extra column to tolerate)."""
+    d = tmp_path_factory.mktemp("cli")
+    path = str(d / "mentions.tsv")
+    rows = (
+        spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
+        .where(F.col("label") == "Gene")
+        .select(
+            "id", "name", "label", "resource", "description",
+            "synonyms", "pmids", "taxid", "xrefs",
+        )
+        .limit(40)
+        .collect()
+    )
+    with open(path, "w") as f:
+        f.write(
+            "id\tname\tlabel\tresource\tdescription\tsynonyms\tpmids"
+            "\ttaxid\txrefs\textra_col\n"
+        )
+        for r in rows:
+            f.write("\t".join((r[c] or "") for c in r.asDict()) + "\tjunk\n")
+        # null-id row: must be dropped by the reader
+        f.write("\tno id here\tGene\tENTREZ\t\t\t\t\t\tjunk\n")
+    return path
+
+
+def test_read_mentions_semantics(spark, mention_tsv):
+    df = read_mentions(spark, mention_tsv)
+    rows = df.collect()
+    assert len(rows) == 40  # null-id row dropped
+    assert "extra_col" in df.columns  # extra columns tolerated
+    for r in rows:
+        assert r["id"]  # no nulls survived
+        for c in ("description", "synonyms", "pmids", "taxid", "xrefs"):
+            assert r[c] is not None  # NaN → ""
+
+
+def test_write_formatted_tsv_and_json(spark, fixture_dir, tmp_path):
+    fmt = (
+        spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
+        .limit(5)
+        .select("id", "name", "label", "resource")
+    )
+    empty = fmt.where(F.lit(False))
+    out = str(tmp_path / "out.tsv")
+    write_formatted(fmt, empty, out, json_path=str(tmp_path / "out.json"))
+    with open(out) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "id\tname\tlabel\tresource"
+    assert len(lines) == 6
+    # empty failed side still writes a header-only file
+    with open(str(tmp_path / "out.failed.tsv")) as f:
+        assert f.read().strip() == "id\tname\tlabel\tresource"
+    with open(str(tmp_path / "out.json")) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 5 and all("id" in r for r in recs)
+
+
+def test_cli_idtypes_and_template(tmp_path, capsys):
+    assert main(["idtypes", "--ontology-type", "Gene"]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out == ["ENTREZ", "ENSEMBL", "HGNC", "MGI", "SYMBOL", "UNIPROT"]
+
+    tpl = str(tmp_path / "tpl.tsv")
+    assert main(["template", "--ontology-type", "Disease", "-o", tpl]) == 0
+    with open(tpl) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "id\tname\tlabel\tresource"
+    assert lines[1].startswith("DOID:4001\t")
+
+
+def test_cli_ontology_end_to_end(spark, fixture_dir, mention_tsv, tmp_path):
+    """onto-match ontology: TSV in → formatted TSV + failed + JSON out,
+    matching the in-process linking of the same rows."""
+    out = str(tmp_path / "gene_formatted.tsv")
+    rc = main(
+        [
+            "ontology",
+            "-i", mention_tsv,
+            "-o", out,
+            "-O", "Gene",
+            "--dictionary", fixture_dir,
+            "--json",
+        ]
+    )
+    assert rc == 0
+    with open(out) as f:
+        header = f.readline().strip().split("\t")
+        n_rows = sum(1 for _ in f)
+    assert header == [
+        "id", "name", "label", "resource", "description",
+        "synonyms", "pmids", "taxid", "xrefs", "raw_id",
+    ]
+    assert os.path.exists(str(tmp_path / "gene_formatted.failed.tsv"))
+    assert os.path.exists(str(tmp_path / "gene_formatted.json"))
+
+    from ontology_matcher_spark.ontology_types import ONTOLOGY_TYPES
+    from ontology_matcher_spark.operators.link_multi import link_mentions_multi
+
+    mentions = read_mentions(spark, mention_tsv)
+    edges = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
+    terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    fmt, _ = link_mentions_multi(
+        mentions, edges, terms, {"Gene": ONTOLOGY_TYPES["Gene"]}
+    )
+    assert n_rows == fmt.count()
