@@ -44,7 +44,8 @@ SCALING_REPLICATION = 6
 def ensure_bench_corpus() -> str:
     from ontology_matcher_spark import fixtures as fx
 
-    tag = f"c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
+    # v2: terms carry symbol/metadata-xrefs/pmids columns
+    tag = f"v2_c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
     out = os.path.join(BENCH_TMP, tag)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -157,6 +158,8 @@ def _run_config(
         master=f"local[{master_cpus}]",
         shuffle_partitions=2 * master_cpus,
     )
+    import gc
+
     times: list[float] = []
     n = -1
     for _ in range(in_session_reps):
@@ -171,9 +174,69 @@ def _run_config(
             ).count()
         )
         times.append(secs)
+        # force driver GC: Spark's ContextCleaner only reaps shuffle
+        # files / broadcasts when their driver-side objects are
+        # collected — without this, /dev/shm (RAM) fills run-over-run
+        # and later reps degrade (measured 104s → 202s)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     clear_scratch(spark)
     stop_all()
     return times, n
+
+
+def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
+    """Warm minimum of a CANONICAL Spark job (parquet scan → shuffle →
+    hash agg) at one parallelism level — the environment's achievable
+    scaling ceiling for JVM columnar work on this box. The sandbox's
+    first-touch page faults run at ~4 MB/s (measured: one fresh 100 MB
+    memcpy = 24s, warm = GB/s), so even a textbook shuffle job cannot
+    scale 4× here; reporting the pipeline AGAINST this ceiling
+    separates engine efficiency from sandbox memory behavior."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.session import get_spark, stop_all
+
+    stop_all()
+    spark = get_spark(
+        f"ceiling-{master_cpus}",
+        master=f"local[{master_cpus}]",
+        shuffle_partitions=2 * master_cpus,
+    )
+    src = os.path.join(BENCH_TMP, "ceiling_src.parquet")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            spark.range(40_000_000)
+            .select(
+                "id",
+                (F.xxhash64("id") % 1_000_000).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("s"),
+            )
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    df = spark.read.parquet(src)
+    best = float("inf")
+    for _ in range(reps):
+        secs, _ = timed(
+            lambda: (
+                df.repartition(2 * master_cpus)
+                .groupBy("k")
+                .agg(
+                    F.count("*").alias("c"),
+                    F.max("s").alias("m"),
+                    F.sum(F.length("s")).alias("ls"),
+                )
+                .count()
+            )
+        )
+        best = min(best, secs)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    stop_all()
+    return best
 
 
 def scaling_measurement(
@@ -183,12 +246,20 @@ def scaling_measurement(
     input; throughput = triples/sec at the WARM in-session minimum
     (see _run_config). The sandbox's shared CPU allotment swings 2×+
     between runs — min-of-reps inside one session recovers the
-    uncontended steady state for each config."""
+    uncontended steady state for each config. `ceiling_*` fields carry
+    the canonical-Spark-job ceiling at the same two levels (see
+    _ceiling_config): `efficiency_vs_ceiling` is the pipeline's
+    speedup as a fraction of the speedup this box gives a textbook
+    shuffle+agg job."""
     times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps)
     times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps)
     assert n == n2, (n, n2)
     best_a, best_b = min(times_a), min(times_b)
     tps_a, tps_b = n / best_a, n / best_b
+    ceil_a = _ceiling_config(cpus_a, reps)
+    ceil_b = _ceiling_config(cpus_b, reps)
+    speedup = tps_b / tps_a
+    ceil_speedup = ceil_a / ceil_b
     return {
         f"local{cpus_a}_sec": round(best_a, 3),
         f"local{cpus_b}_sec": round(best_b, 3),
@@ -197,7 +268,11 @@ def scaling_measurement(
         f"local{cpus_a}_tps": round(tps_a, 1),
         f"local{cpus_b}_tps": round(tps_b, 1),
         "n_triples": n,
-        "efficiency": round((tps_b / tps_a) / (cpus_b / cpus_a), 3),
+        "efficiency": round(speedup / (cpus_b / cpus_a), 3),
+        f"ceiling_local{cpus_a}_sec": round(ceil_a, 3),
+        f"ceiling_local{cpus_b}_sec": round(ceil_b, 3),
+        "ceiling_efficiency": round(ceil_speedup / (cpus_b / cpus_a), 3),
+        "efficiency_vs_ceiling": round(speedup / ceil_speedup, 3),
     }
 
 
@@ -215,7 +290,7 @@ def main() -> None:
     stop_all()
 
     # scaling evidence: same job, identical input, local[8] vs local[32]
-    scaling = scaling_measurement(corpus_dir, 8, 32, reps=2)
+    scaling = scaling_measurement(corpus_dir, 8, 32, reps=3)
 
     result = {
         "metric": "kg_e2e_sec",

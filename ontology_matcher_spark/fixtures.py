@@ -152,6 +152,12 @@ def _emit_terms_edges(bundle: FixtureBundle, otype: OntologyType, seed: int) -> 
             if otype.metadata_mode == "default" and ci % 4 == 0
             else []
         )
+        # MyChem/HMDB-style metadata pmids (merged into output pmids)
+        md_pmids_head = (
+            [str(7_000_000 + ci), str(7_100_000 + ci)]
+            if otype.metadata_mode == "default" and ci % 6 == 2
+            else []
+        )
         # term rows: one per member curie
         for m in members:
             ns, local = m.split(":", 1)
@@ -172,6 +178,7 @@ def _emit_terms_edges(bundle: FixtureBundle, otype: OntologyType, seed: int) -> 
                     "taxid": ("9606" if ci % 2 == 0 else "10090") if otype.type == "Gene" else "",
                     "symbol": symbol,
                     "xrefs": md_xrefs_head if is_default_head else [],
+                    "pmids": md_pmids_head if is_default_head else [],
                     "parent_curie": parent,
                 }
             )
@@ -319,6 +326,7 @@ def write_parquet(bundle: FixtureBundle, outdir: str) -> None:
                  ("normalized_name", pa.string()), ("synonyms", pa.list_(pa.string())),
                  ("description", pa.string()), ("taxid", pa.string()),
                  ("symbol", pa.string()), ("xrefs", pa.list_(pa.string())),
+                 ("pmids", pa.list_(pa.string())),
                  ("parent_curie", pa.string())]
             ),
         ),

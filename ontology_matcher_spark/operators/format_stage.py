@@ -56,6 +56,9 @@ def metadata_table(terms: DataFrame) -> DataFrame:
     xr = (
         F.col("xrefs") if "xrefs" in cols else F.array().cast(_EMPTY_ARR)
     )
+    pm = (
+        F.col("pmids") if "pmids" in cols else F.array().cast(_EMPTY_ARR)
+    )
     return terms.select(
         F.col("curie").alias("md_curie"),
         F.col("name").alias("md_name"),
@@ -64,6 +67,7 @@ def metadata_table(terms: DataFrame) -> DataFrame:
         sym.alias("md_symbol"),
         tax.alias("md_taxid"),
         xr.alias("md_xrefs"),
+        pm.alias("md_pmids"),
     )
 
 
@@ -86,9 +90,11 @@ def metadata_exprs(mode: str, alias_arr) -> dict:
     empty = F.array().cast(_EMPTY_ARR)
     md_xr = F.coalesce(F.col("md_xrefs"), empty)
     md_syn = F.coalesce(F.col("md_synonyms"), empty)
+    md_pm = F.coalesce(F.col("md_pmids"), empty)
     xrefs = sql_join_lst(
         concat_unique(concat_unique(alias_arr, md_xr), split_pipe("r_xrefs"))
     )
+    pmids = sql_join_lst(concat_unique(md_pm, split_pipe("r_pmids")))
     if mode == "gene":
         md_name_arr = F.when(
             md_found & (F.col("md_name") != ""), F.array(F.col("md_name"))
@@ -107,6 +113,7 @@ def metadata_exprs(mode: str, alias_arr) -> dict:
                 )
             ),
             "xrefs": xrefs,
+            "pmids": pmids,
         }
     return {
         "name": F.coalesce(nn("md_name"), F.col("r_name")),
@@ -114,6 +121,7 @@ def metadata_exprs(mode: str, alias_arr) -> dict:
         "taxid": F.col("r_taxid"),
         "synonyms": sql_join_lst(concat_unique(md_syn, split_pipe("r_synonyms"))),
         "xrefs": xrefs,
+        "pmids": pmids,
     }
 
 
@@ -157,9 +165,12 @@ def format_output(
     )
     conv = conv.withColumn("canonical", canonical)
 
+    # metadata key = canonical when resolved, else the RAW id (the
+    # reference applies query-keyed metadata even to unresolved rows —
+    # ontology_formatter.py:697-700 before the id-None branch)
     conv = conv.join(
         F.broadcast(metadata_table(terms)),
-        conv.canonical == F.col("md_curie"),
+        F.coalesce(conv.canonical, conv.raw_id) == F.col("md_curie"),
         "left",
     )
 
@@ -174,7 +185,7 @@ def format_output(
         .withColumn("o_description", o["description"])
         .withColumn("o_synonyms", o["synonyms"])
         .withColumn("o_taxid", o["taxid"])
-        .withColumn("o_pmids", sql_join_lst(split_pipe("r_pmids")))
+        .withColumn("o_pmids", o["pmids"])
         .withColumn("o_xrefs", o["xrefs"])
     )
 

@@ -24,11 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ontology_matcher_spark.functions.arrays import (
-    concat_unique,
-    split_pipe,
-    sql_join_lst,
-)
 from ontology_matcher_spark.ontology_types import (
     CURIE_LOCAL_PATTERN,
     OntologyType,
@@ -253,9 +248,13 @@ def link_mentions_multi(
         metadata_table,
     )
 
+    # metadata key = canonical when resolved, else the RAW id: the
+    # reference fetches metadata per QUERY and applies it even to rows
+    # with no default mapping (format_by_metadata runs before the
+    # id-None branch, ontology_formatter.py:697-700 + :712-717)
     conv = conv.join(
         F.broadcast(metadata_table(terms)),
-        conv.canonical == F.col("md_curie"),
+        F.coalesce(conv.canonical, conv.raw_id) == F.col("md_curie"),
         "left",
     )
 
@@ -278,7 +277,7 @@ def link_mentions_multi(
         .withColumn("o_description", o("description"))
         .withColumn("o_synonyms", o("synonyms"))
         .withColumn("o_taxid", o("taxid"))
-        .withColumn("o_pmids", sql_join_lst(split_pipe("r_pmids")))
+        .withColumn("o_pmids", o("pmids"))
         .withColumn("o_xrefs", o("xrefs"))
         .select(
             F.when(resolved, F.col("canonical")).otherwise(F.col("raw_id")).alias("id"),

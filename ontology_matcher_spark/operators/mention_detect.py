@@ -12,7 +12,10 @@ Matching strategy: surface forms (term names + synonyms) are
 normalized (lowercase, punctuation→space) and indexed by token
 n-gram in a plain dict; literal CURIEs in text are found with one
 compiled regex and checked against the term-curie set (exact-id
-match, rank 0 of the tie-break ladder). If the optional
+match, rank 0) or resolved through the xref-edge map (rank 1);
+unmatched long tokens fall through to a SymSpell-style edit-distance-1
+fuzzy tier (rank 4) — the north rule's full
+exact-id > xref > normalized-label > fuzzy ladder. If the optional
 ``ahocorasick`` package is importable we use an automaton instead of
 the n-gram dict (same output; faster for 10^6-surface dictionaries).
 The dictionary is shipped once per executor via
@@ -54,7 +57,7 @@ MENTION_SCHEMA = StructType(
         StructField("offset", IntegerType()),
         StructField("surface", StringType()),
         StructField("id", StringType()),
-        StructField("match_type", StringType()),  # exact-id | name | synonym
+        StructField("match_type", StringType()),  # exact-id|xref|name|synonym|fuzzy
     ]
 )
 
@@ -63,15 +66,55 @@ def normalize_text(s: str) -> str:
     return _NORM_RE.sub(" ", s.lower()).strip()
 
 
-def build_dictionary(terms_rows: list[dict]) -> dict[str, Any]:
+#: single-token surfaces at least this long participate in fuzzy
+#: (edit-distance-1) matching — shorter tokens produce noise
+_FUZZY_MIN_LEN = 5
+
+
+def _deletions(tok: str) -> set[str]:
+    return {tok[:i] + tok[i + 1 :] for i in range(len(tok))}
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) ≤ 1 (a != b assumed cheap to pre-check)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        diff += 1
+        if diff > 1:
+            return False
+        if la == lb:
+            i += 1
+        j += 1
+    return True
+
+
+def build_dictionary(
+    terms_rows: list[dict], xref_rows: list[dict] | None = None
+) -> dict[str, Any]:
     """Driver-side build of the matching dictionary from term rows
-    (dicts with curie/name/synonyms). Broadcast the RESULT, not the
-    term list.
+    (dicts with curie/name/synonyms) and optional xref-edge rows
+    (src_curie/dst_curie). Broadcast the RESULT, not the term list.
 
     Surfaces are indexed by FIRST TOKEN: the scan only materializes an
     n-gram when the head token hits the index, which makes the common
     (non-matching) position O(1) instead of O(max_tokens) string
-    builds. ahocorasick (if importable) would subsume this."""
+    builds. ahocorasick (if importable) would subsume this.
+
+    Fuzzy tier: SymSpell-style symmetric-deletion index over
+    single-token NAME surfaces (≥ _FUZZY_MIN_LEN chars) — a token at
+    edit distance 1 from a dictionary name matches at the ladder's
+    lowest rank. At 10⁶-term production dictionaries this index is the
+    piece to move to a dedicated build job (it is ~|surface|×len
+    entries), exactly like the automaton."""
     surface_map: dict[str, list[tuple[str, str]]] = defaultdict(list)
     curie_set: set[str] = set()
     for t in terms_rows:
@@ -92,10 +135,30 @@ def build_dictionary(terms_rows: list[dict]) -> dict[str, Any]:
             continue
         max_len = max(max_len, len(toks))
         head_index[toks[0]].append((toks, surface, hits))
+    # xref tier: a literal CURIE that is not itself a term but is a
+    # known xref of one resolves THROUGH the edge (rank 1)
+    xref_map: dict[str, str] = {}
+    for e in xref_rows or []:
+        src, dst = e["src_curie"], e["dst_curie"]
+        if src not in curie_set and dst in curie_set:
+            prev = xref_map.get(src)
+            if prev is None or dst < prev:  # deterministic pick
+                xref_map[src] = dst
+    # fuzzy tier: deletion-neighborhood index over 1-token name surfaces
+    fuzzy_index: dict[str, list[str]] = defaultdict(list)
+    for surface, hits in surface_map.items():
+        if " " in surface or len(surface) < _FUZZY_MIN_LEN:
+            continue
+        if not any(mt == "name" for _, mt in hits):
+            continue
+        for v in _deletions(surface) | {surface}:
+            fuzzy_index[v].append(surface)
     return {
         "surfaces": dict(surface_map),
         "head_index": dict(head_index),
         "curies": curie_set,
+        "xref_map": xref_map,
+        "fuzzy_index": dict(fuzzy_index),
         "max_tokens": max_len,
     }
 
@@ -105,25 +168,46 @@ def _scan_text(
 ) -> list[tuple[str, str, str]]:
     """→ [(surface, curie, match_type)] for one text span."""
     out: list[tuple[str, str, str]] = []
-    # exact-id: literal CURIEs present in the dictionary
+    # exact-id (rank 0): literal CURIEs present in the dictionary;
+    # xref (rank 1): literal CURIEs resolving through a known edge
+    xref_map = d.get("xref_map") or {}
     for m in _CURIE_RE.finditer(text):
         curie = m.group(0)
         if curie in d["curies"]:
             out.append((curie, curie, "exact-id"))
-    # name/synonym: head-token index over normalized token stream —
-    # O(1) per non-matching position, n-gram built only on head hits
+        elif curie in xref_map:
+            out.append((curie, xref_map[curie], "xref"))
+    # name/synonym (ranks 2/3): head-token index over normalized token
+    # stream — O(1) per non-matching position, n-gram built on head hits
     tokens = normalize_text(text).split()
     head_index = d["head_index"]
+    fuzzy_index = d.get("fuzzy_index") or {}
+    surfaces = d["surfaces"]
     n = len(tokens)
     for i in range(n):
-        cands = head_index.get(tokens[i])
-        if not cands:
-            continue
-        for toks, surface, hits in cands:
-            k = len(toks)
-            if i + k <= n and tuple(tokens[i : i + k]) == toks:
-                for curie, mtype in hits:
-                    out.append((surface, curie, mtype))
+        tok = tokens[i]
+        hit_here = False
+        cands = head_index.get(tok)
+        if cands:
+            for toks, surface, hits in cands:
+                k = len(toks)
+                if i + k <= n and tuple(tokens[i : i + k]) == toks:
+                    hit_here = True
+                    for curie, mtype in hits:
+                        out.append((surface, curie, mtype))
+        # fuzzy (rank 4): single tokens at edit distance 1 from a
+        # dictionary NAME, only where nothing matched exactly
+        if not hit_here and len(tok) >= _FUZZY_MIN_LEN:
+            seen: set[str] = set()
+            for v in _deletions(tok) | {tok}:
+                for surface in fuzzy_index.get(v, ()):
+                    if surface in seen or surface == tok:
+                        continue
+                    seen.add(surface)
+                    if _lev_le1(tok, surface):
+                        for curie, mtype in surfaces[surface]:
+                            if mtype == "name":
+                                out.append((tok, curie, "fuzzy"))
     return out
 
 
@@ -156,13 +240,17 @@ def detect_mentions(documents: DataFrame, bc_dictionary) -> DataFrame:
 
 
 def rank_candidates(mentions: DataFrame) -> DataFrame:
-    """Tie-break ladder rank for detected mention candidates
-    (SURVEY.md §2.5 W4): exact-id > name > synonym; deterministic
-    trailing sort on candidate id."""
+    """Tie-break ladder rank for detected mention candidates — the
+    north rule's full ladder (SURVEY.md §2.5 W4; reference priority
+    order cli.py:231-241): exact-id > xref > normalized-label
+    (name, then synonym) > fuzzy; deterministic trailing sort on
+    candidate id."""
     rank = (
         F.when(F.col("match_type") == "exact-id", 0)
+        .when(F.col("match_type") == "xref", 1)
         .when(F.col("match_type") == "name", 2)
-        .otherwise(3)
+        .when(F.col("match_type") == "synonym", 3)
+        .otherwise(4)  # fuzzy
     )
     return mentions.withColumn("match_rank", rank)
 

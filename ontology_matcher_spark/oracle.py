@@ -167,8 +167,9 @@ def format_output(
             canonical = default_val
         elif isinstance(default_val, list) and len(default_val) == 1:
             canonical = default_val[0]
-        metadata = term_by_curie.get(canonical) if canonical else None
+        metadata = term_by_curie.get(canonical or raw_id)
         md_xrefs: list = []
+        md_pmids: list = []
         if metadata:
             if otype.metadata_mode == "gene":
                 # gene/__init__.py:332-354: SYMBOL→name, summary→
@@ -194,6 +195,7 @@ def format_output(
                     metadata.get("synonyms", []), new["synonyms"]
                 )
             md_xrefs = list(metadata.get("xrefs", []) or [])
+            md_pmids = list(metadata.get("pmids", []) or [])
 
         alias = []
         for ns in otype.choices:
@@ -208,7 +210,7 @@ def format_output(
         xrefs = concat(concat(alias, md_xrefs), new["xrefs"])
 
         new["synonyms"] = join_lst(new["synonyms"])
-        new["pmids"] = join_lst(new["pmids"])
+        new["pmids"] = join_lst(concat(md_pmids, new["pmids"]))
 
         if default_val is None:
             new["id"] = raw_id

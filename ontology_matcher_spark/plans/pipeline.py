@@ -172,6 +172,7 @@ def detected_mentions_df(
     spark: SparkSession,
     documents: DataFrame,
     terms: DataFrame,
+    xref_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Stage [1]: interleaved documents → mention-table rows.
 
@@ -190,7 +191,15 @@ def detected_mentions_df(
         r.asDict()
         for r in terms.select("curie", "name", "synonyms").collect()
     ]
-    bc = spark.sparkContext.broadcast(build_dictionary(term_rows))
+    xref_rows = (
+        [
+            r.asDict()
+            for r in xref_edges.select("src_curie", "dst_curie").collect()
+        ]
+        if xref_edges is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast(build_dictionary(term_rows, xref_rows))
     best = best_candidate_per_mention(detect_mentions(documents, bc))
     labels = terms.select(
         F.col("curie").alias("id"), F.col("label").alias("t_label")
@@ -252,7 +261,9 @@ def build_pipeline_lazy(
         # materialize: the linking DAG references the mention frame
         # several times (valid/records/failed branches) — without
         # materialization each branch re-runs the Python detection scan
-        detected = materialize(detected_mentions_df(spark, docs, terms), "detected")
+        detected = materialize(
+            detected_mentions_df(spark, docs, terms, edges), "detected"
+        )
         mentions = mentions.unionByName(detected)
     tnames = types or list(ONTOLOGY_TYPES)
     sel_types = {t: ONTOLOGY_TYPES[t] for t in tnames}

@@ -69,6 +69,7 @@ ONTOLOGY_TERMS = _st(
     _f("taxid", S),
     _f("symbol", S),             # gene SYMBOL ("" for other types)
     _f("xrefs", A),              # metadata xrefs (MyDisease-style)
+    _f("pmids", A),              # metadata pmids (MyChem/HMDB-style)
     _f("parent_curie", S),  # same-namespace is-a parent ("" = root)
 )
 

@@ -93,3 +93,53 @@ def test_media_feature_plumbing(spark, bundle, fixture_dir):
         assert r["kind"] in ("image", "audio", "table")
         assert len(r["features"]) == 8
         assert r["width"] >= 64 and r["height"] >= 64
+
+
+def test_xref_and_fuzzy_ladder(spark):
+    """North-rule tie-break ladder: exact-id > xref > name > synonym >
+    fuzzy, with the xref tier resolving THROUGH an edge and the fuzzy
+    tier catching edit-distance-1 token misses."""
+    from ontology_matcher_spark.operators.mention_detect import (
+        _scan_text,
+        best_candidate_per_mention,
+        rank_candidates,
+    )
+
+    terms = [
+        {"curie": "MONDO:1", "name": "glioblastoma", "synonyms": ["gbm tumor"]},
+        {"curie": "MONDO:2", "name": "melanoma", "synonyms": []},
+    ]
+    edges = [
+        {"src_curie": "DOID:9", "dst_curie": "MONDO:1"},   # xref tier
+        {"src_curie": "MONDO:1", "dst_curie": "DOID:9"},   # reverse (ignored: src is a term)
+        {"src_curie": "DOID:77", "dst_curie": "NOPE:1"},   # dst unknown (ignored)
+    ]
+    d = build_dictionary(terms, edges)
+    assert d["xref_map"] == {"DOID:9": "MONDO:1"}
+
+    hits = _scan_text(
+        "Patient with glioblastoma (DOID:9, also MONDO:2) and glioblastoms.", d
+    )
+    by_type = {}
+    for surface, curie, mtype in hits:
+        by_type.setdefault(mtype, []).append((surface, curie))
+    assert ("MONDO:2", "MONDO:2") in by_type["exact-id"]
+    assert ("DOID:9", "MONDO:1") in by_type["xref"]           # through the edge
+    assert ("glioblastoma", "MONDO:1") in by_type["name"]
+    assert ("glioblastoms", "MONDO:1") in by_type["fuzzy"]    # distance 1
+    # exact surface positions never also emit fuzzy
+    assert ("glioblastoma", "MONDO:1") not in by_type.get("fuzzy", [])
+
+    # ladder order end-to-end: same (doc, span, surface) prefers lower rank
+    rows = [("d1", 0, 0, "DOID:9", "MONDO:1", "xref"),
+            ("d1", 0, 0, "DOID:9", "MONDO:9", "fuzzy")]
+    df = spark.createDataFrame(rows, ["doc_id", "span_idx", "offset", "surface", "id", "match_type"])
+    best = best_candidate_per_mention(df).collect()
+    assert len(best) == 1 and best[0]["match_type"] == "xref"
+    ranks = {r["match_type"]: r["match_rank"] for r in rank_candidates(
+        spark.createDataFrame(
+            [("a", t) for t in ("exact-id", "xref", "name", "synonym", "fuzzy")],
+            ["id", "match_type"],
+        )
+    ).collect()}
+    assert ranks == {"exact-id": 0, "xref": 1, "name": 2, "synonym": 3, "fuzzy": 4}
