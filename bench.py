@@ -160,6 +160,21 @@ def _run_config(
     )
     import gc
 
+    # untimed warmup at 1× replication: compiles the full plan's
+    # codegen + JIT + Python workers cheaply, so the timed reps start
+    # near steady state (measured: without it, rep wall was still
+    # descending at rep 3 — 97.7 → 89.6 → 65.1 at local[32])
+    clear_scratch(spark)
+    build_pipeline_lazy(
+        spark,
+        corpus_dir,
+        num_partitions=2 * master_cpus,
+        detect_documents=True,
+        replicate_docs=1,
+    ).count()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
     times: list[float] = []
     n = -1
     for _ in range(in_session_reps):

