@@ -44,8 +44,9 @@ SCALING_REPLICATION = 6
 def ensure_bench_corpus() -> str:
     from ontology_matcher_spark import fixtures as fx
 
-    # v2: terms carry symbol/metadata-xrefs/pmids columns
-    tag = f"v2_c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
+    # v3: Compound+HMDB / Metabolite+CHEMBL namespace sets (reference
+    # parity) change the generated cluster membership
+    tag = f"v3_c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
     out = os.path.join(BENCH_TMP, tag)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -85,10 +86,10 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
     from ontology_matcher_spark.operators.candidates import generate_candidates
     from ontology_matcher_spark.operators.canonicalize import connected_components
     from ontology_matcher_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-    from ontology_matcher_spark.operators.mention_detect import (
-        build_dictionary,
-        detect_mentions,
+    from ontology_matcher_spark.operators.dictionary_build import (
+        write_detection_artifact,
     )
+    from ontology_matcher_spark.operators.mention_detect import detect_mentions
     from ontology_matcher_spark.operators.validate import validate_mentions
     from ontology_matcher_spark.ontology_types import ONTOLOGY_TYPES
 
@@ -115,9 +116,13 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
     q["kg_cc"], _ = timed(
         lambda: connected_components(edges, src="src_curie", dst="dst_curie").count()
     )
-    term_rows = [r.asDict() for r in terms.select("curie", "name", "synonyms").collect()]
-    bc = spark.sparkContext.broadcast(build_dictionary(term_rows))
-    q["kg_detect"], _ = timed(lambda: detect_mentions(docs, bc).count())
+    # distributed dictionary build (timed separately from the scan:
+    # on a cluster the artifact is a reusable build-job output)
+    artifact = os.path.join(BENCH_TMP, "detect_dict_artifact")
+    q["kg_dict_build"], _ = timed(
+        lambda: write_detection_artifact(terms, artifact)
+    )
+    q["kg_detect"], _ = timed(lambda: detect_mentions(docs, artifact).count())
 
     # driver-table headliners at SF_DIR
     q["q_pricing_summary"], _ = timed(
@@ -254,18 +259,9 @@ def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
     return best
 
 
-def scaling_measurement(
-    corpus_dir: str, cpus_a: int = 8, cpus_b: int = 32, reps: int = 3
+def _one_window(
+    corpus_dir: str, cpus_a: int, cpus_b: int, reps: int
 ) -> dict:
-    """Same lazy KG pipeline at two parallelism levels on identical
-    input; throughput = triples/sec at the WARM in-session minimum
-    (see _run_config). The sandbox's shared CPU allotment swings 2×+
-    between runs — min-of-reps inside one session recovers the
-    uncontended steady state for each config. `ceiling_*` fields carry
-    the canonical-Spark-job ceiling at the same two levels (see
-    _ceiling_config): `efficiency_vs_ceiling` is the pipeline's
-    speedup as a fraction of the speedup this box gives a textbook
-    shuffle+agg job."""
     times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps)
     times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps)
     assert n == n2, (n, n2)
@@ -291,6 +287,37 @@ def scaling_measurement(
     }
 
 
+def scaling_measurement(
+    corpus_dir: str,
+    cpus_a: int = 8,
+    cpus_b: int = 32,
+    reps: int = 2,
+    windows: int = 2,
+) -> dict:
+    """Same lazy KG pipeline at two parallelism levels on identical
+    input; throughput = triples/sec at the WARM in-session minimum
+    (see _run_config). The sandbox's shared CPU allotment swings 2×+
+    between runs — min-of-reps inside one session recovers the
+    uncontended steady state for each config, and the whole A/B +
+    ceiling block is measured in ``windows`` CONSECUTIVE windows
+    (the target is ≥0.8 of ceiling in two consecutive windows, so
+    each window carries its own environment ceiling). `ceiling_*`
+    fields carry the canonical parquet-scan→shuffle→agg job at the
+    same two levels (see _ceiling_config); `efficiency_vs_ceiling` is
+    the pipeline's speedup as a fraction of the speedup this box gives
+    that textbook job. Top-level fields = the LAST window (fully
+    warmed); all windows are reported verbatim."""
+    ws = [
+        _one_window(corpus_dir, cpus_a, cpus_b, reps) for _ in range(windows)
+    ]
+    out = dict(ws[-1])
+    out["windows"] = ws
+    out["efficiency_vs_ceiling_windows"] = [
+        w["efficiency_vs_ceiling"] for w in ws
+    ]
+    return out
+
+
 def main() -> None:
     corpus_dir = ensure_bench_corpus()
 
@@ -304,8 +331,9 @@ def main() -> None:
     queries["kg_e2e"] = e2e_secs
     stop_all()
 
-    # scaling evidence: same job, identical input, local[8] vs local[32]
-    scaling = scaling_measurement(corpus_dir, 8, 32, reps=3)
+    # scaling evidence: same job, identical input, local[8] vs
+    # local[32], measured in two consecutive windows
+    scaling = scaling_measurement(corpus_dir, 8, 32, reps=2, windows=2)
 
     result = {
         "metric": "kg_e2e_sec",

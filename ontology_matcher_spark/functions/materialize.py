@@ -19,11 +19,39 @@ requirement Spark's own reliable `checkpoint()` has), and
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: app dirs with atexit cleanup already registered (one hook per app)
+_ATEXIT_REGISTERED: set[str] = set()
+
+#: sibling scratch dirs older than this are treated as leaked by a
+#: finished/crashed run and reaped on first scratch_root() use — the
+#: default base is /dev/shm (RAM-backed tmpfs), so leaks survive
+#: process exit and would otherwise accumulate forever
+_STALE_SECS = 6 * 3600
+
+
+def _reap_stale_siblings(mat_base: str, own: str) -> None:
+    try:
+        entries = os.listdir(mat_base)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        p = os.path.join(mat_base, name)
+        if p == own:
+            continue
+        try:
+            if now - os.path.getmtime(p) > _STALE_SECS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def scratch_root(spark: SparkSession) -> str:
@@ -35,7 +63,14 @@ def scratch_root(spark: SparkSession) -> str:
             base = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     # namespace by application id: clear_scratch() in one session must
     # not delete files another live session's plans still reference
-    return os.path.join(base, "materialize", spark.sparkContext.applicationId)
+    root = os.path.join(base, "materialize", spark.sparkContext.applicationId)
+    if root not in _ATEXIT_REGISTERED:
+        _ATEXIT_REGISTERED.add(root)
+        # this session's dir dies with the process even when the caller
+        # (CLI commands, crashed runs) never calls clear_scratch()
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _reap_stale_siblings(os.path.join(base, "materialize"), root)
+    return root
 
 
 def materialize(df: DataFrame, tag: str = "m") -> DataFrame:

@@ -59,10 +59,16 @@ GENE = OntologyType(
 COMPOUND = OntologyType(
     "Compound",
     "DrugBank",
-    ("DrugBank", "MESH", "UMLS", "CHEBI", "CHEMBL", "PUBCHEM"),
+    # exact reference set incl. HMDB
+    # (/root/reference/ontology_matcher/compound/__init__.py:19-23)
+    ("DrugBank", "PUBCHEM", "CHEBI", "MESH", "UMLS", "CHEMBL", "HMDB"),
 )
 METABOLITE = OntologyType(
-    "Metabolite", "HMDB", ("HMDB", "CHEBI", "PUBCHEM", "DrugBank", "MESH", "UMLS")
+    "Metabolite",
+    "HMDB",
+    # exact reference set incl. CHEMBL
+    # (/root/reference/ontology_matcher/metabolite/__init__.py:19-23)
+    ("HMDB", "DrugBank", "PUBCHEM", "CHEBI", "MESH", "UMLS", "CHEMBL"),
 )
 SYMPTOM = OntologyType("Symptom", "UMLS", ("UMLS", "SYMP", "MESH", "HP"))
 

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ontology_matcher_spark.functions.guards import (
+    DEFAULT_MAX_BUCKET,
+    apply_bucket_guard,
+)
 from ontology_matcher_spark.functions.materialize import materialize
 from ontology_matcher_spark.operators.text import word_tokens
 
@@ -118,7 +122,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -126,8 +130,13 @@ def minhash_lsh_pairs(
     sharing any band-hash are candidates. Output: (id_a, id_b,
     jaccard_est) with id_a < id_b, deduped across bands.
 
-    ``max_bucket``: optionally drop (band, hash) buckets wider than
-    this many DISTINCT signatures (hot-bucket guard at scale)."""
+    ``max_bucket`` (ON by default — the O(bucket²) boilerplate blow-up
+    it guards against only appears in production corpora) drops
+    (band, hash) buckets wider than this many DISTINCT signatures;
+    exact-duplicate pileups never trip it because signature-identical
+    docs are collapsed to one representative before banding. Drops
+    are logged and recorded in guards.LAST_DROP_STATS — never silent.
+    Pass None to disable."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k_shingle)
 
@@ -174,12 +183,9 @@ def minhash_lsh_pairs(
     # recompute the shingle→signature aggregation for BOTH sides
     banded = materialize(banded, "mh-banded")
     if max_bucket is not None:
-        # hot-bucket guard for adversarial/boilerplate corpora: drop
-        # (band, hash) buckets wider than max_bucket — they contribute
-        # O(bucket²) candidates and (being boilerplate) little signal
-        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__bn"))
-        keep = sizes.where(F.col("__bn") <= max_bucket).select("band", "bh")
-        banded = banded.join(F.broadcast(keep), ["band", "bh"], "left_semi")
+        banded = apply_bucket_guard(
+            banded, ["band", "bh"], max_bucket, "minhash_lsh_pairs"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

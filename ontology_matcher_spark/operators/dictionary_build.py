@@ -226,6 +226,123 @@ def build_term_table(
     )
 
 
+# ----------------------------------------- detection-dictionary artifact
+def normalize_surface(c: Column) -> Column:
+    """Spark twin of ``mention_detect.normalize_text`` (lowercase,
+    non-alnum runs → single space, trim) — MUST stay in lockstep: the
+    artifact build normalizes surfaces JVM-side, the detector
+    normalizes document text Python-side, and the two must agree
+    byte-for-byte for the token index to hit."""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def detection_surfaces(terms: DataFrame) -> DataFrame:
+    """(surface, curie, match_type) rows — the distributed form of the
+    driver-side ``surface_map`` build: term names at rank 'name',
+    synonyms (normalized ≠ the name's normalization) at 'synonym'."""
+    name_n = normalize_surface(F.col("name")).alias("surface")
+    names = terms.select(name_n, "curie").where(
+        F.col("surface") != ""
+    ).withColumn("match_type", F.lit("name"))
+    syns = (
+        terms.select(
+            normalize_surface(F.col("name")).alias("__n"),
+            "curie",
+            F.explode(F.coalesce("synonyms", F.array().cast("array<string>"))).alias("__s"),
+        )
+        .select(normalize_surface(F.col("__s")).alias("surface"), "curie", "__n")
+        .where((F.col("surface") != "") & (F.col("surface") != F.col("__n")))
+        .select("surface", "curie", F.lit("synonym").alias("match_type"))
+    )
+    return names.unionByName(syns).distinct()
+
+
+def detection_xref_map(terms: DataFrame, xref_edges: DataFrame) -> DataFrame:
+    """(src_curie, dst_curie) rows for the detector's rank-1 tier: a
+    literal CURIE that is NOT itself a term but is a known xref of one
+    resolves through the edge; deterministic min-dst pick per src."""
+    curies = terms.select("curie").distinct()
+    e = xref_edges.select("src_curie", "dst_curie")
+    e = e.join(
+        curies.withColumnRenamed("curie", "src_curie"), "src_curie", "left_anti"
+    )
+    e = e.join(
+        curies.withColumnRenamed("curie", "dst_curie"), "dst_curie", "left_semi"
+    )
+    return e.groupBy("src_curie").agg(F.min("dst_curie").alias("dst_curie"))
+
+
+def detection_fuzzy_index(surfaces: DataFrame, min_len: int = 5) -> DataFrame:
+    """(variant, surface) rows of the SymSpell deletion neighbourhood
+    over single-token NAME surfaces — the ~|surface|×len index the
+    round-2 verdict required moving off the driver. Built by one
+    codegen'd explode; never collected."""
+    base = (
+        surfaces.where(
+            (F.col("match_type") == "name")
+            & (~F.col("surface").contains(" "))
+            & (F.length("surface") >= min_len)
+        )
+        .select("surface")
+        .distinct()
+    )
+    variants = F.expr(
+        "array_union(transform(sequence(1, length(surface)), i -> "
+        "concat(substring(surface, 1, i-1), substring(surface, i+1, 1000000))), "
+        "array(surface))"
+    )
+    return base.select(
+        F.explode(variants).alias("variant"), "surface"
+    ).distinct()
+
+
+def write_detection_artifact(
+    terms: DataFrame,
+    path: str,
+    xref_edges: DataFrame | None = None,
+    extra_term_rows: list[dict] | None = None,
+) -> str:
+    """Distributed build of the detection-dictionary artifact: four
+    parquet tables (surfaces / curies / xrefs / fuzzy) under ``path``,
+    loaded lazily PER EXECUTOR by
+    ``mention_detect.load_detection_artifact``. Nothing is ever
+    collected to the driver — this replaces the round-2
+    ``terms.collect()``/``edges.collect()`` bottleneck (the reference
+    gene corpus alone is 589,823 terms, README.md:99; measured
+    assembly bound documented in load_detection_artifact).
+
+    On a cluster ``path`` must be shared storage (HDFS/S3) so every
+    executor can read it — the same contract as Spark's own reliable
+    checkpoint. ``extra_term_rows`` (curie/name/synonyms dicts) lets a
+    caller add ad-hoc vocabulary without a second source table."""
+    spark = terms.sparkSession
+    t = terms.select("curie", "name", "synonyms")
+    if extra_term_rows:
+        extra = spark.createDataFrame(
+            [
+                (r["curie"], r.get("name") or "", list(r.get("synonyms") or []))
+                for r in extra_term_rows
+            ],
+            "curie string, name string, synonyms array<string>",
+        )
+        t = t.unionByName(extra)
+    surfaces = detection_surfaces(t)
+    surfaces.write.mode("overwrite").parquet(f"{path}/surfaces")
+    t.select("curie").distinct().write.mode("overwrite").parquet(f"{path}/curies")
+    xr = (
+        detection_xref_map(t, xref_edges)
+        if xref_edges is not None
+        else spark.createDataFrame([], "src_curie string, dst_curie string")
+    )
+    xr.write.mode("overwrite").parquet(f"{path}/xrefs")
+    # re-read the written surfaces so the fuzzy explode doesn't
+    # recompute the normalization scan
+    detection_fuzzy_index(spark.read.parquet(f"{path}/surfaces")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/fuzzy")
+    return path
+
+
 def edges_from_terms(terms: DataFrame) -> DataFrame:
     """Term table → XREF_EDGES rows (curie → each normalized xref,
     both directions, distance 1 — mirroring the OxO distance-1

@@ -18,8 +18,14 @@ fuzzy tier (rank 4) — the north rule's full
 exact-id > xref > normalized-label > fuzzy ladder. If the optional
 ``ahocorasick`` package is importable we use an automaton instead of
 the n-gram dict (same output; faster for 10^6-surface dictionaries).
-The dictionary is shipped once per executor via
-``SparkContext.broadcast`` — never per task, never per row.
+
+The dictionary reaches executors one of two ways — never per task,
+never per row:
+- production: a parquet ARTIFACT built distributed
+  (`dictionary_build.write_detection_artifact`), read per executor
+  and cached per worker process (`load_detection_artifact`) — the
+  driver never collects the term/edge tables;
+- ad-hoc/tests: ``SparkContext.broadcast`` of `build_dictionary`.
 """
 
 from __future__ import annotations
@@ -112,9 +118,13 @@ def build_dictionary(
     Fuzzy tier: SymSpell-style symmetric-deletion index over
     single-token NAME surfaces (≥ _FUZZY_MIN_LEN chars) — a token at
     edit distance 1 from a dictionary name matches at the ladder's
-    lowest rank. At 10⁶-term production dictionaries this index is the
-    piece to move to a dedicated build job (it is ~|surface|×len
-    entries), exactly like the automaton."""
+    lowest rank.
+
+    This driver-side builder is for SMALL ad-hoc vocabularies and
+    tests; the production path is the DISTRIBUTED build
+    (`dictionary_build.write_detection_artifact` — surface / xref /
+    deletion-neighbourhood indexes computed as DataFrame jobs, written
+    to parquet, loaded per executor by `load_detection_artifact`)."""
     surface_map: dict[str, list[tuple[str, str]]] = defaultdict(list)
     curie_set: set[str] = set()
     for t in terms_rows:
@@ -126,15 +136,6 @@ def build_dictionary(
             ns = normalize_text(syn)
             if ns and ns != n:
                 surface_map[ns].append((t["curie"], "synonym"))
-    # head-token index: first token → [(token_tuple, surface, hits)]
-    head_index: dict[str, list[tuple[tuple[str, ...], str, list]]] = defaultdict(list)
-    max_len = 1
-    for surface, hits in surface_map.items():
-        toks = tuple(surface.split())
-        if len(toks) > _MAX_SURFACE_TOKENS:
-            continue
-        max_len = max(max_len, len(toks))
-        head_index[toks[0]].append((toks, surface, hits))
     # xref tier: a literal CURIE that is not itself a term but is a
     # known xref of one resolves THROUGH the edge (rank 1)
     xref_map: dict[str, str] = {}
@@ -153,14 +154,83 @@ def build_dictionary(
             continue
         for v in _deletions(surface) | {surface}:
             fuzzy_index[v].append(surface)
+    return _assemble(surface_map, curie_set, xref_map, dict(fuzzy_index))
+
+
+def _assemble(
+    surface_map: dict[str, list[tuple[str, str]]],
+    curie_set: set[str],
+    xref_map: dict[str, str],
+    fuzzy_index: dict[str, list[str]],
+) -> dict[str, Any]:
+    """Shared final assembly: head-token index + max n-gram width."""
+    head_index: dict[str, list[tuple[tuple[str, ...], str, list]]] = defaultdict(list)
+    max_len = 1
+    for surface, hits in surface_map.items():
+        toks = tuple(surface.split())
+        if len(toks) > _MAX_SURFACE_TOKENS:
+            continue
+        max_len = max(max_len, len(toks))
+        head_index[toks[0]].append((toks, surface, hits))
     return {
         "surfaces": dict(surface_map),
         "head_index": dict(head_index),
         "curies": curie_set,
         "xref_map": xref_map,
-        "fuzzy_index": dict(fuzzy_index),
+        "fuzzy_index": fuzzy_index,
         "max_tokens": max_len,
     }
+
+
+#: per-worker-process artifact cache: Python workers are reused across
+#: tasks (spark.python.worker.reuse), so each executor assembles the
+#: dictionary ONCE per artifact path, not once per task
+_ARTIFACT_CACHE: dict[str, dict[str, Any]] = {}
+
+
+def load_detection_artifact(path: str) -> dict[str, Any]:
+    """Executor-side load of a `write_detection_artifact` directory
+    (plain pyarrow — no SparkSession on workers). Replaces the
+    round-2 full-table driver collect: the driver never materializes
+    the term/edge tables; each executor reads the compact parquet
+    artifact from shared storage and assembles the same dict
+    `build_dictionary` would have produced.
+
+    Memory bound (measured in this sandbox, see BASELINE.md): a
+    589,823-term dictionary (the reference's full gene corpus,
+    README.md:99 — 810k surfaces + 724k fuzzy variants) assembles in
+    ~11 s to ~0.7 GB RSS delta per worker process — acceptable on
+    production executors (4-8 GB/core). Workers share nothing, so the
+    per-executor cost is bounded by worker reuse + this cache."""
+    d = _ARTIFACT_CACHE.get(path)
+    if d is not None:
+        return d
+    import os
+
+    import pyarrow.parquet as pq
+
+    def cols(sub: str, names: list[str]) -> list:
+        t = pq.read_table(os.path.join(path, sub), columns=names)
+        return [t.column(n).to_pylist() for n in names]
+
+    surface_map: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for s, c, mt in zip(*cols("surfaces", ["surface", "curie", "match_type"])):
+        surface_map[s].append((c, mt))
+    for hits in surface_map.values():
+        hits.sort()  # parquet row order is shuffle-dependent; pin it
+    (curies,) = cols("curies", ["curie"])
+    xs, xd = cols("xrefs", ["src_curie", "dst_curie"])
+    fuzzy_index: dict[str, list[str]] = defaultdict(list)
+    fv, fs = cols("fuzzy", ["variant", "surface"])
+    for v, s in zip(fv, fs):
+        fuzzy_index[v].append(s)
+    d = _assemble(
+        dict(surface_map), set(curies), dict(zip(xs, xd)), dict(fuzzy_index)
+    )
+    while len(_ARTIFACT_CACHE) >= 2:  # bound reused-worker memory across runs
+        _ARTIFACT_CACHE.pop(next(iter(_ARTIFACT_CACHE)))
+    _ARTIFACT_CACHE[path] = d
+    return d
 
 
 def _scan_text(
@@ -211,14 +281,24 @@ def _scan_text(
     return out
 
 
-def detect_mentions(documents: DataFrame, bc_dictionary) -> DataFrame:
+def detect_mentions(documents: DataFrame, dictionary) -> DataFrame:
     """documents(doc_id, spans[]) → mention rows (MENTION_SCHEMA).
 
-    ``bc_dictionary`` is a ``Broadcast`` of ``build_dictionary(...)``.
+    ``dictionary`` is either a ``Broadcast`` of ``build_dictionary(...)``
+    (small ad-hoc vocabularies) or a ``str`` path to a
+    ``write_detection_artifact`` directory — the production form: the
+    artifact is built distributed, read per executor, and cached per
+    worker process (`load_detection_artifact`), so neither the driver
+    nor the task closure ever carries the term table.
     """
+    artifact_path = dictionary if isinstance(dictionary, str) else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        d = bc_dictionary.value
+        d = (
+            load_detection_artifact(artifact_path)
+            if artifact_path is not None
+            else dictionary.value
+        )
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):

@@ -1,14 +1,23 @@
 """Similarity search over an embedding column (driver-mandated):
 brute-force cosine top-k baseline + LSH-bucketed scale path.
 
-- brute force: broadcast the (small) query set, one codegen'd
-  `aggregate`/`zip_with` dot product per (vector, query) pair, top-k
-  via window — correct baseline, O(n·q);
+- brute force: broadcast the (small) query set, one codegen'd dot
+  product per (vector, query) pair, top-k via window — correct
+  baseline, O(n·q);
 - scale path: random-hyperplane LSH buckets (SimHash for vectors) —
-  candidates only join within a bucket, probing multiple tables; at
-  10^12 rows this is the difference between a full scan per query and
-  a partition-pruned bucket read (partition the vector table by
-  bucket id).
+  candidates only join within a bucket; multiple independent bands
+  (`lsh_topk_multiband` / `embedding_near_dup_multiband`) recover the
+  recall a single fine-grained table loses. At 10^12 rows write the
+  vector table partitioned by (band, bucket) so probes prune
+  partitions.
+
+Hot-path expressions are CODEGEN'D: when the embedding dimension is
+known (it always is — the table contract is fixed-width vectors), dot
+products and hyperplane projections unroll into `F.get` chains that
+whole-stage-codegen compiles, replacing the round-2
+`aggregate`/`zip_with` higher-order functions that evaluate
+interpreted (CodegenFallback) per element. The HOF forms remain as
+the dimension-agnostic fallback only.
 """
 
 from __future__ import annotations
@@ -16,8 +25,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ontology_matcher_spark.functions.guards import (
+    DEFAULT_MAX_BUCKET,
+    apply_bucket_guard,
+)
 
-def _dot(a: Column, b: Column) -> Column:
+
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` → unrolled codegen chain (left-to-
+    right addition, bit-identical to the sequential HOF fold); without
+    → interpreted `aggregate` fallback. `F.get` (0-based, NULL past
+    the end) keeps ragged rows from throwing under ANSI mode — a
+    short vector yields a NULL score, not a job abort."""
+    if dim is not None:
+        out = F.get(a, 0) * F.get(b, 0)
+        for i in range(1, dim):
+            out = out + F.get(a, i) * F.get(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -25,16 +49,30 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = F.get(a, 0) * F.get(a, 0)
+        for i in range(1, dim):
+            out = out + F.get(a, i) * F.get(a, i)
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns (codegen'd)."""
-    d = F.coalesce(_norm(a) * _norm(b), F.lit(0.0))
-    return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two float-array columns. Pass ``dim`` in
+    hot paths — the unrolled form stays inside whole-stage codegen."""
+    d = F.coalesce(_norm(a, dim) * _norm(b, dim), F.lit(0.0))
+    return F.when(d > 0, _dot(a, b, dim) / d).otherwise(F.lit(0.0))
+
+
+def _infer_dim(df: DataFrame, col: str) -> int | None:
+    """Embedding width from one row (the tables are fixed-width by
+    contract; the single-row action is negligible and buys the codegen
+    path). None on an empty frame → HOF fallback."""
+    row = df.select(F.size(F.col(col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
 
 
 def brute_force_topk(
@@ -45,17 +83,20 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours per query.
 
     ``queries`` must be small (broadcast). Output: (query_id, vec_id,
     score, rank). Deterministic tie-break on vec_id."""
+    if dim is None:
+        dim = _infer_dim(queries, query_vec_col)
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = vectors.crossJoin(q).select(
         query_id_col,
         id_col,
         cosine(F.col(vec_col).cast("array<double>"),
-               F.col(query_vec_col).cast("array<double>")).alias("score"),
+               F.col(query_vec_col).cast("array<double>"), dim).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
@@ -72,18 +113,15 @@ def hyperplane_bucket(
     """Random-hyperplane LSH bucket id: sign bit per plane → int.
 
     ``planes`` is a driver-side list of unit vectors (deterministic,
-    seeded) — inlined as literals, so the whole thing codegens."""
+    seeded) — inlined as literals in an unrolled multiply-add chain,
+    so every projection stays inside whole-stage codegen (the round-2
+    `zip_with`/`aggregate` form evaluated interpreted per element)."""
+    dim = len(planes[0])
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = F.get(vec, 0) * F.lit(float(p[0]))
+        for j in range(1, dim):
+            proj = proj + F.get(vec, j) * F.lit(float(p[j]))
         bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket
 
@@ -108,8 +146,10 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: only vectors sharing the query's hyperplane
-    bucket are scored. At scale, write `vectors` partitioned by
-    `bucket` so the probe prunes partitions."""
+    bucket are scored. SINGLE-table form — recall collapses at fine
+    plane counts; use `lsh_topk_multiband` for real ANN serving (all
+    bands probed, union of candidates, one exact re-rank)."""
+    dim = len(planes[0])
     vb = vectors.withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes)
     )
@@ -123,7 +163,82 @@ def lsh_topk(
         query_id_col,
         id_col,
         cosine(F.col(vec_col).cast("array<double>"),
-               F.col(query_vec_col).cast("array<double>")).alias("score"),
+               F.col(query_vec_col).cast("array<double>"), dim).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _with_band_buckets(
+    df: DataFrame,
+    vec: Column,
+    bands: list[list[list[float]]],
+    keep: list[str],
+) -> DataFrame:
+    """Explode a frame into one row per (band, bucket) membership."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        hyperplane_bucket(vec, planes).alias("bucket"),
+                    )
+                    for bi, planes in enumerate(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_topk_multiband(
+    vectors: DataFrame,
+    queries: DataFrame,
+    bands: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-table ANN probe — the 10^9-vector serving shape: the
+    query is hashed into EVERY band's table, candidates sharing any
+    (band, bucket) are unioned and deduped, then ONE exact cosine
+    re-rank picks top-k. Fine per-band plane counts keep buckets
+    small (probe cost ~ Σ_band |bucket|); the band union recovers the
+    recall a single fine table loses to bucket splits — mirroring
+    `embedding_near_dup_multiband`. At scale, write `vectors`
+    partitioned by (band, bucket) so each probe prunes partitions."""
+    dim = len(bands[0][0])
+    vb = _with_band_buckets(
+        vectors.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        F.col("__v"),
+        bands,
+        [id_col, "__v"],
+    )
+    qb = F.broadcast(
+        _with_band_buckets(
+            queries.select(
+                F.col(query_id_col).alias(query_id_col),
+                F.col(query_vec_col).cast("array<double>").alias("__qv"),
+            ),
+            F.col("__qv"),
+            bands,
+            [query_id_col, "__qv"],
+        )
+    )
+    cand = (
+        vb.join(qb, ["band", "bucket"])
+        .dropDuplicates([query_id_col, id_col])  # any-band union, scored once
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__v"), F.col("__qv"), dim).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -142,6 +257,7 @@ def embedding_near_dup(
     Single-table form — fine for small plane counts; at scale use
     `embedding_near_dup_multiband` (more planes per band → small
     buckets; several independent bands → recall)."""
+    dim = len(planes[0])
     vb = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -152,7 +268,7 @@ def embedding_near_dup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            cosine(F.col("a.v"), F.col("b.v"), dim).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -173,7 +289,7 @@ def embedding_near_dup_multiband(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The 100 TB shape of embedding near-dup: ``len(bands)``
     INDEPENDENT hyperplane tables. Each band uses enough planes that
@@ -184,31 +300,23 @@ def embedding_near_dup_multiband(
     is a candidate when ANY band agrees; verification is one exact
     cosine over the deduped candidate set.
 
-    ``max_bucket`` optionally drops degenerate buckets (zero-vector
-    pileups and the like) — logged nowhere silently: dropped pairs are
-    simply absent, so set it consciously."""
-    vb = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        hyperplane_bucket(F.col("v"), planes).alias("bucket"),
-                    )
-                    for bi, planes in enumerate(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ``max_bucket`` (ON by default) drops degenerate buckets — pass
+    None to disable. Drops are never silent: the count is logged and
+    recorded in LAST_DROP_STATS."""
+    dim = len(bands[0][0])
+    vb = _with_band_buckets(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        F.col("v"),
+        bands,
+        ["id", "v"],
+    )
     if max_bucket is not None:
-        sizes = vb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
-        keep = sizes.where(F.col("__n") <= max_bucket).select("band", "bucket")
-        vb = vb.join(F.broadcast(keep), ["band", "bucket"], "left_semi")
+        vb = apply_bucket_guard(
+            vb, ["band", "bucket"], max_bucket, "embedding_near_dup_multiband"
+        )
     a, b = vb.alias("a"), vb.alias("b")
     cand = (
         a.join(
@@ -226,5 +334,5 @@ def embedding_near_dup_multiband(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim).alias("cos")
     ).where(F.col("cos") >= threshold)

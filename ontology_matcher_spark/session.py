@@ -82,9 +82,13 @@ def ship_package(spark: SparkSession) -> str:
     import ontology_matcher_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(ontology_matcher_spark.__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), "ontology_matcher_spark_pyfiles.zip"
+    # unique 0600 temp file, not a fixed world-shared path: concurrent
+    # sessions must not race on one zip, and on a multi-user host a
+    # predictable name could be swapped between write and addPyFile
+    fd, zip_path = tempfile.mkstemp(
+        prefix="ontology_matcher_spark_pyfiles_", suffix=".zip"
     )
+    os.close(fd)
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _, files in os.walk(pkg_dir):
             for fn in sorted(files):

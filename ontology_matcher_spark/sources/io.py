@@ -61,16 +61,18 @@ def _write_tsv(df: DataFrame, out_path: str, single_file: bool) -> None:
     import shutil
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    # emptyValue/nullValue: Spark's CSV writer serializes empty strings
+    # as the two-character literal '""' by default; formatted outputs
+    # are full of empty fields (raw_id on rescued rows, description,
+    # taxid), and the reference's pandas to_csv writes them EMPTY —
+    # match that byte-wise so tab-split consumers see '' not '""'
+    opts = {"sep": "\t", "header": True, "emptyValue": "", "nullValue": ""}
     if not single_file:
-        df.write.mode("overwrite").option("sep", "\t").option(
-            "header", True
-        ).csv(out_path)
+        df.write.mode("overwrite").options(**opts).csv(out_path)
         return
     tmp = out_path + "._spark_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
-        "header", True
-    ).csv(tmp)
+    df.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
     parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
     if parts:
         os.replace(parts[0], out_path)
@@ -120,10 +122,16 @@ def write_formatted_json(
 
 
 # ---------------------------------------------------------------- tables
+ICEBERG_CATALOG = "kg"
+
+
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is configured on this session."""
+    """True when an Iceberg catalog named ``kg`` is configured on this
+    session (``spark.sql.catalog.kg`` → catalog plugin class). The
+    sandbox has no Iceberg jars, so this is False locally; on a real
+    cluster `write_table` then routes through DataFrameWriterV2."""
     try:
-        return bool(spark.conf.get("spark.sql.catalog.kg", None))
+        return bool(spark.conf.get(f"spark.sql.catalog.{ICEBERG_CATALOG}", None))
     except Exception:
         return False
 
@@ -135,15 +143,37 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> str:
-    """Write a stage table. Parquet directory layout with explicit
-    partition columns — identical layout to the Iceberg variant
-    (`partitionedBy(label, bucket(id))` on a real cluster)."""
+    """Write a stage table.
+
+    With an Iceberg catalog configured (`iceberg_available`), writes
+    ``kg.<name>`` via DataFrameWriterV2 with identity partitioning on
+    ``partition_by`` — the north rule's partitioned-Iceberg
+    materialization. Otherwise (the sandbox) a parquet directory with
+    the SAME partition layout, so readers and partition pruning behave
+    identically across both backends."""
+    if iceberg_available(df.sparkSession):
+        ident = f"{ICEBERG_CATALOG}.{name}"
+        writer = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return ident
     path = os.path.join(base_dir, name)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return path
+
+
+def read_stage_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Read back a `write_table` output from either backend."""
+    if iceberg_available(spark):
+        return spark.read.table(f"{ICEBERG_CATALOG}.{name}")
+    return spark.read.parquet(os.path.join(base_dir, name))
 
 
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:

@@ -123,3 +123,81 @@ def test_cli_ontology_end_to_end(spark, fixture_dir, mention_tsv, tmp_path):
         mentions, edges, terms, {"Gene": ONTOLOGY_TYPES["Gene"]}
     )
     assert n_rows == fmt.count()
+
+
+def test_write_table_backend_routing(spark, tmp_path, monkeypatch):
+    """write_table: parquet directory layout by default; with an
+    Iceberg catalog configured it routes through DataFrameWriterV2
+    (kg.<name>, identity partitioning, append vs replace). The sandbox
+    has no Iceberg jars, so the catalog write is exercised against a
+    recording stand-in — the routing, naming, and partition spec are
+    what this pins."""
+    import os as _os
+
+    from ontology_matcher_spark.sources.io import iceberg_available, write_table
+
+    df = spark.createDataFrame(
+        [("a", "Gene"), ("b", "Disease")], ["id", "label"]
+    )
+
+    # parquet fallback: partitioned directory, readable back
+    assert not iceberg_available(spark)
+    p = write_table(df, str(tmp_path), "t1", partition_by=["label"])
+    assert _os.path.isdir(_os.path.join(p, "label=Gene"))
+    assert spark.read.parquet(p).count() == 2
+
+    # catalog branch
+    calls = []
+
+    class FakeV2Writer:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", len(cols)))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ident))
+
+        def append(self):
+            calls.append(("append", self.ident))
+
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame
+    # in Spark 4 — pyspark.sql.DataFrame is only the facade)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, ident: FakeV2Writer(ident))
+    spark.conf.set("spark.sql.catalog.kg", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert iceberg_available(spark)
+        ident = write_table(df, str(tmp_path), "t2", partition_by=["label"])
+        assert ident == "kg.t2"
+        assert ("using", "iceberg") in calls
+        assert ("partitionedBy", 1) in calls
+        assert ("createOrReplace", "kg.t2") in calls
+        write_table(df, str(tmp_path), "t2", mode="append")
+        assert ("append", "kg.t2") in calls
+    finally:
+        spark.conf.unset("spark.sql.catalog.kg")
+
+
+def test_write_tsv_empty_fields_serialize_empty(spark, tmp_path):
+    """Spark's CSV writer default would serialize '' as the literal
+    two-character string '""' — formatted outputs are full of empty
+    fields (raw_id on rescued rows, description, taxid), and the
+    reference's pandas to_csv writes them EMPTY. Pin the byte shape."""
+    df = spark.createDataFrame(
+        [("MONDO:1", "", "Disease", "", "", "", "", "", "", "")],
+        "id string, name string, label string, resource string, "
+        "description string, synonyms string, pmids string, taxid string, "
+        "xrefs string, raw_id string",
+    )
+    out = str(tmp_path / "e.tsv")
+    write_formatted(df, df.where(F.lit(False)), out)
+    with open(out) as f:
+        lines = f.read().rstrip("\n").split("\n")
+    assert lines[1] == "MONDO:1\t\tDisease" + "\t" * 7
+    assert '""' not in lines[1]

@@ -210,3 +210,112 @@ def test_lsh_topk_probe(spark):
             assert abs(exact[(qi, r["vec_id"])] - r["score"]) < 1e-9
         ranks = [r["rank"] for r in rows]
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_lsh_topk_multiband_recall_beats_single_table(spark):
+    """Multi-table probe: at 12 planes a single table's bucket splits
+    lose most true nearest neighbours; 4 independent 12-plane bands
+    recover ≥95% of them. Scores on the recovered rows are EXACT
+    (one cosine re-rank over the candidate union)."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_multiband,
+        make_band_planes,
+    )
+
+    rng = np.random.default_rng(29)
+    base = rng.normal(size=(60, 32)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    # queries: noisy copies of the first 20 vectors — the true top-1
+    # neighbour of query i is vector i
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in base[i] + rng.normal(scale=0.02, size=32)])
+            for i in range(20)
+        ],
+        ["query_id", "query_vec"],
+    )
+    bands = make_band_planes(32, n_planes=12, n_bands=4, seed=13)
+
+    def top1_hits(rows):
+        best = {}
+        for r in rows:
+            if r["rank"] == 1:
+                best[r["query_id"]] = r["vec_id"]
+        return sum(1 for qi, vi in best.items() if qi == vi)
+
+    multi_rows = lsh_topk_multiband(df, q, bands, k=3).collect()
+    single_rows = lsh_topk(df, q, bands[0], k=3).collect()
+    hits_multi = top1_hits(multi_rows)
+    hits_single = top1_hits(single_rows)
+    assert hits_multi >= 19  # ≥95% of 20 queries
+    assert hits_multi > hits_single  # single fine table demonstrably misses
+
+    # exact re-rank: every returned score equals the brute-force score
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in brute_force_topk(df, q, k=60).collect()
+    }
+    for r in multi_rows:
+        assert abs(exact[(r["query_id"], r["vec_id"])] - r["score"]) < 1e-9
+
+
+def test_minhash_hot_bucket_guard_reports_drops(spark):
+    """Adversarial corpus: identical docs collapse BEFORE banding (no
+    O(k²) bucket blow-up), and a boilerplate cluster wider than
+    max_bucket is dropped with an OBSERVABLE count — never silently."""
+    from ontology_matcher_spark.functions import guards
+    from ontology_matcher_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    assert DEFAULT_MAX_BUCKET is not None  # guard defaults ON
+
+    rows = []
+    # 200 byte-identical docs → one signature → intra-group expansion
+    for i in range(200):
+        rows.append((i, "alpha beta gamma delta epsilon zeta eta theta"))
+    # boilerplate cluster: 40 docs sharing a long template, one unique
+    # token each → distinct signatures landing in shared band buckets
+    tmpl = " ".join(f"common{j}" for j in range(30))
+    for i in range(40):
+        rows.append((1000 + i, tmpl + f" unique{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    unguarded = minhash_lsh_pairs(df, max_bucket=None).count()
+    guarded = minhash_lsh_pairs(df, max_bucket=8)
+    n_guarded = guarded.count()
+    stats = dict(guards.LAST_DROP_STATS)
+    assert stats["buckets_dropped"] > 0 and stats["rows_dropped"] > 0
+    # identical-doc pairs (est 1.0) survive — they bypass banding
+    assert n_guarded >= 200 * 199 // 2
+    assert n_guarded < unguarded  # boilerplate buckets actually dropped
+
+
+def test_embedding_multiband_guard_reports_drops(spark):
+    """Degenerate constant-embedding pileup lands in ONE bucket per
+    band; the default-on guard bounds the self-join and reports it."""
+    import numpy as np
+
+    from ontology_matcher_spark.functions import guards
+    from ontology_matcher_spark.operators.similarity import (
+        embedding_near_dup_multiband,
+        make_band_planes,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [1.0] * 16) for i in range(50)]  # constant pileup
+    rows += [
+        (100 + i, [float(x) for x in rng.normal(size=16)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bands = make_band_planes(16, n_planes=8, n_bands=2, seed=3)
+    out = embedding_near_dup_multiband(
+        df, bands, threshold=0.99, max_bucket=10
+    ).count()
+    stats = dict(guards.LAST_DROP_STATS)
+    assert stats["buckets_dropped"] >= 2  # the pileup bucket in each band
+    assert out < 50 * 49 // 2  # pileup pairs did not materialize

@@ -143,3 +143,33 @@ def test_xref_and_fuzzy_ladder(spark):
         )
     ).collect()}
     assert ranks == {"exact-id": 0, "xref": 1, "name": 2, "synonym": 3, "fuzzy": 4}
+
+
+def test_artifact_matches_broadcast_dictionary(spark, bundle, fixture_dir, tmp_path):
+    """The distributed dictionary artifact (built as DataFrame jobs,
+    loaded per executor) must detect the IDENTICAL mention set as the
+    driver-built broadcast dictionary — the round-2 verdict's
+    replacement criterion for the full-table driver collect."""
+    from ontology_matcher_spark.operators.dictionary_build import (
+        write_detection_artifact,
+    )
+
+    docs = _docs(spark, fixture_dir)
+    terms_df = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    edges_df = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
+    path = str(tmp_path / "dict-artifact")
+    write_detection_artifact(terms_df, path, edges_df)
+
+    via_path = {
+        (r["doc_id"], r["span_idx"], r["surface"], r["id"], r["match_type"])
+        for r in detect_mentions(docs, path).collect()
+    }
+    bc = spark.sparkContext.broadcast(
+        build_dictionary(bundle.terms, bundle.xref_edges)
+    )
+    via_bc = {
+        (r["doc_id"], r["span_idx"], r["surface"], r["id"], r["match_type"])
+        for r in detect_mentions(docs, bc).collect()
+    }
+    assert via_path == via_bc
+    assert len(via_path) > 100
