@@ -62,18 +62,22 @@ def connected_components(
     prev_sig: tuple | None = None
     prev_path: str | None = None
     for rnd in range(max_iter):
-        # ---- large-star: attach bigger neighbours to min neighbour
-        n = _sym(e).distinct()
+        # ---- large-star: attach bigger neighbours to min neighbour.
+        # NO intermediate .distinct(): min/first aggregation is
+        # multiset-safe and the join multiplies rows only by the
+        # (bounded, small) duplicate multiplicity — each removed
+        # distinct was a full extra shuffle per round, and the
+        # round-output distinct below resets multiplicity anyway.
+        n = _sym(e)
         m = _min_neighbor(n)
         e = (
             n.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star: orient max→min, attach small neighbours + self
-        t = _sym(e).where(F.col("u") >= F.col("v")).distinct()
+        t = _sym(e).where(F.col("u") >= F.col("v"))
         m = _min_neighbor(t)
         joined = t.join(m, "u")
         # cut lineage each round; previous round's table is dropped as

