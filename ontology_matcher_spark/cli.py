@@ -132,8 +132,46 @@ def cmd_pipeline(args) -> int:
         args.out,
         strategy=Strategy(args.strategy),
         num_partitions=args.num_partitions,
+        detect_documents=args.detect_documents,
     )
     print(f"triples: {triples.count()}")
+    return 0
+
+
+def cmd_dictbuild(args) -> int:
+    """Build the detection-dictionary artifact as a standalone job —
+    the 'dedicated build job' the per-run pipeline then only reads."""
+    from ontology_matcher_spark.operators.dictionary_build import (
+        write_detection_artifact,
+    )
+
+    spark = _get_spark(args)
+    terms = spark.read.parquet(
+        os.path.join(args.dictionary, "ontology_terms.parquet")
+    )
+    edges_path = os.path.join(args.dictionary, "xref_edges.parquet")
+    edges = spark.read.parquet(edges_path) if os.path.exists(edges_path) else None
+    write_detection_artifact(terms, args.out, edges)
+    print(f"artifact: {args.out}")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    """Dictionary mention detection over a documents parquet with a
+    prebuilt artifact → mention-table parquet (tie-break ladder
+    applied; one winner per (doc, span, surface))."""
+    from ontology_matcher_spark.operators.mention_detect import (
+        best_candidate_per_mention,
+        detect_mentions,
+    )
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.documents)
+    if args.num_partitions:
+        docs = docs.repartition(args.num_partitions)
+    best = best_candidate_per_mention(detect_mentions(docs, args.artifact))
+    best.write.mode("overwrite").parquet(args.out)
+    print(f"mentions: {args.out}")
     return 0
 
 
@@ -190,7 +228,30 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--strategy", choices=[s.value for s in Strategy],
                     default=Strategy.MIXTURE.value)
     pp.add_argument("--num-partitions", type=int, default=None)
+    pp.add_argument("--detect-documents", action="store_true",
+                    help="Prepend dictionary mention detection over "
+                         "documents.parquet as a checkpointed stage")
     pp.set_defaults(fn=cmd_pipeline)
+
+    pb = sub.add_parser(
+        "dictbuild",
+        help="Build the detection-dictionary artifact (distributed)",
+    )
+    pb.add_argument("--dictionary", "-D", required=True,
+                    help="Dir with ontology_terms.parquet (+ xref_edges.parquet)")
+    pb.add_argument("--out", "-o", required=True, help="Artifact output dir")
+    pb.set_defaults(fn=cmd_dictbuild)
+
+    pde = sub.add_parser(
+        "detect", help="Dictionary mention detection over documents"
+    )
+    pde.add_argument("--documents", "-i", required=True,
+                     help="Interleaved documents parquet (doc_id, spans)")
+    pde.add_argument("--artifact", "-a", required=True,
+                     help="Prebuilt detection artifact (see dictbuild)")
+    pde.add_argument("--out", "-o", required=True, help="Mention parquet out")
+    pde.add_argument("--num-partitions", type=int, default=None)
+    pde.set_defaults(fn=cmd_detect)
     return p
 
 

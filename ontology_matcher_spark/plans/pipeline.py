@@ -393,6 +393,7 @@ def run_pipeline(
     types: list[str] | None = None,
     strategy: Strategy = Strategy.MIXTURE,
     num_partitions: int | None = None,
+    detect_documents: bool = False,
 ) -> DataFrame:
     """Full batch run over fixture tables → triples table (returned).
 
@@ -400,6 +401,11 @@ def run_pipeline(
     cluster-scale corpus arrives in many files and partitions
     naturally; a single small parquet file scans as ONE task, so local
     benchmarking must repartition or every core but one idles.
+
+    ``detect_documents``: prepend stage [1] — dictionary mention
+    detection over ``documents.parquet`` — as its own checkpointed,
+    resumable stage (the detection artifact lives under ``out_dir``
+    and is reused across resumes via its _SUCCESS markers).
     """
     run = PipelineRun(spark, out_dir)
     mentions = spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
@@ -407,6 +413,18 @@ def run_pipeline(
         mentions = mentions.repartition(num_partitions)
     edges = spark.read.parquet(os.path.join(fixture_dir, "xref_edges.parquet"))
     terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    if detect_documents:
+        docs = spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+        if num_partitions:
+            docs = docs.repartition(num_partitions)
+        detected = run.materialize(
+            "detected",
+            lambda: detected_mentions_df(
+                spark, docs, terms, edges,
+                artifact_dir=os.path.join(out_dir, "detect_artifact"),
+            ),
+        )
+        mentions = mentions.unionByName(detected)
 
     from ontology_matcher_spark.operators.canonicalize import (
         canonical_assignment_by_label,

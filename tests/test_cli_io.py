@@ -201,3 +201,41 @@ def test_write_tsv_empty_fields_serialize_empty(spark, tmp_path):
         lines = f.read().rstrip("\n").split("\n")
     assert lines[1] == "MONDO:1\t\tDisease" + "\t" * 7
     assert '""' not in lines[1]
+
+
+def test_cli_dictbuild_and_detect(spark, fixture_dir, tmp_path):
+    """dictbuild → detect as standalone CLI jobs: the artifact is a
+    reusable build output; detection consumes it with no driver-side
+    dictionary collect and emits one winner per (doc, span, surface)."""
+    art = str(tmp_path / "artifact")
+    out = str(tmp_path / "mentions_out")
+    assert main(["dictbuild", "-D", fixture_dir, "-o", art]) == 0
+    assert os.path.exists(os.path.join(art, "surfaces", "_SUCCESS"))
+    assert main([
+        "detect", "-i", os.path.join(fixture_dir, "documents.parquet"),
+        "-a", art, "-o", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 100
+    keys = [(r["doc_id"], r["span_idx"], r["surface"]) for r in rows]
+    assert len(keys) == len(set(keys))  # tie-break ladder applied
+
+
+def test_pipeline_detect_documents_resumable(spark, fixture_dir, tmp_path):
+    """run_pipeline(detect_documents=True): detection is a checkpointed
+    stage; a re-run resumes from the manifest without recomputing and
+    returns the identical triple set."""
+    from ontology_matcher_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "kgout")
+    t1 = run_pipeline(spark, fixture_dir, out, detect_documents=True)
+    rows1 = {(r["subj"], r["pred"], r["obj"]) for r in t1.collect()}
+    assert os.path.exists(os.path.join(out, "stages", "detected"))
+    detected = spark.read.parquet(os.path.join(out, "stages", "detected"))
+    assert detected.count() > 0
+    t2 = run_pipeline(spark, fixture_dir, out, detect_documents=True)
+    rows2 = {(r["subj"], r["pred"], r["obj"]) for r in t2.collect()}
+    assert rows1 == rows2
+    # detector-derived links actually reached the triple set
+    assert any(s.startswith("doc") or p == "skos:exactMatch" for s, p, o in rows1)
