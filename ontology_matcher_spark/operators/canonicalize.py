@@ -39,15 +39,56 @@ def _min_neighbor(n: DataFrame) -> DataFrame:
     return n.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round, fully LAZY (no action).
+
+    NO intermediate .distinct(): min/first aggregation is
+    multiset-safe and the joins multiply rows only by the (bounded,
+    small) duplicate multiplicity — each removed distinct was a full
+    extra shuffle per round; the round-output distinct resets
+    multiplicity."""
+    # ---- large-star: attach bigger neighbours to min neighbour
+    n = _sym(e)
+    m = _min_neighbor(n)
+    e = (
+        n.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    # ---- small-star: orient max→min, attach small neighbours + self
+    t = _sym(e).where(F.col("u") >= F.col("v"))
+    m = _min_neighbor(t)
+    return (
+        t.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    rounds_per_materialize: int = 1,
 ) -> DataFrame:
     """Undirected CC → DataFrame(node, root) where root = the
     lexicographically smallest member of the node's component
-    (self-rows included for every node appearing in ``edges``)."""
+    (self-rows included for every node appearing in ``edges``).
+
+    ``rounds_per_materialize``: keep at 1. A star-round references its
+    input ~4-6 times (symmetrize + agg + join on each side), and
+    WITHOUT a materialization between rounds those references
+    re-execute the previous round's whole subplan inside one job —
+    measured interleaved on the bench graph at local[16]: 1 round per
+    write = 5.8-17s, 2 rounds per write = 17.8-30s. The per-round
+    write is what makes each upstream reference a cheap parquet scan.
+    Convergence is detected from the signature riding each write
+    (bit_xor, order-independent — a sum of hashes overflows under
+    ANSI mode); each round costs exactly ONE action."""
     spark = edges.sparkSession
     run_dir = os.path.join(scratch_root(spark), f"cc-{uuid.uuid4().hex[:8]}")
     e = (
@@ -61,41 +102,17 @@ def connected_components(
     )
     prev_sig: tuple | None = None
     prev_path: str | None = None
-    for rnd in range(max_iter):
-        # ---- large-star: attach bigger neighbours to min neighbour.
-        # NO intermediate .distinct(): min/first aggregation is
-        # multiset-safe and the join multiplies rows only by the
-        # (bounded, small) duplicate multiplicity — each removed
-        # distinct was a full extra shuffle per round, and the
-        # round-output distinct below resets multiplicity anyway.
-        n = _sym(e)
-        m = _min_neighbor(n)
-        e = (
-            n.join(m, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # ---- small-star: orient max→min, attach small neighbours + self
-        t = _sym(e).where(F.col("u") >= F.col("v"))
-        m = _min_neighbor(t)
-        joined = t.join(m, "u")
-        # cut lineage each round; previous round's table is dropped as
-        # soon as this round is materialized (no storage-memory leak).
-        # The convergence signature rides the WRITE via observe() —
-        # bit_xor (not sum: ANSI mode overflows a sum of hashes) is
-        # order-independent — so each round costs exactly ONE action
-        # (the driver-loop latency is the pipeline's serial floor).
-        from pyspark.sql.observation import Observation
+    from pyspark.sql.observation import Observation
 
+    for rnd in range(max_iter):
+        for _ in range(rounds_per_materialize):
+            e = _star_round(e)
+        # cut lineage per materialization; the previous table is
+        # dropped as soon as this one lands (no storage-memory leak).
         obs = Observation(f"cc_sig_{rnd}")
         path = os.path.join(run_dir, f"round-{rnd}")
         e = materialize_at(
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m.select("u", F.col("m").alias("v")))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .observe(
+            e.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(

@@ -34,11 +34,16 @@ def stream_mentions(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    bc_dictionary,
+    dictionary,
 ) -> StreamingQuery:
-    """documents stream → mention rows, append-mode parquet sink."""
+    """documents stream → mention rows, append-mode parquet sink.
+
+    ``dictionary``: a Broadcast of `build_dictionary(...)` OR a
+    detection-artifact path (`write_detection_artifact`) — the
+    streaming scan uses the identical per-executor lazy-load path as
+    batch detection."""
     docs = stream_documents(spark, input_dir)
-    mentions = detect_mentions(docs, bc_dictionary)
+    mentions = detect_mentions(docs, dictionary)
     return (
         mentions.writeStream.format("parquet")
         .option("path", output_dir)

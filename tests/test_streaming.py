@@ -28,3 +28,58 @@ def test_stream_matches_batch(spark, bundle, fixture_dir, tmp_path):
     key = lambda r: (r["doc_id"], r["span_idx"], r["surface"], r["id"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
     assert got.count() > 0
+
+
+def test_stream_with_artifact_path(spark, fixture_dir, tmp_path):
+    """The distributed dictionary artifact composes with the streaming
+    scan: per-executor lazy load inside a streaming mapInPandas."""
+    from ontology_matcher_spark.operators.dictionary_build import (
+        write_detection_artifact,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+    docs.limit(200).repartition(2).write.parquet(in_dir)
+    art = str(tmp_path / "artifact")
+    write_detection_artifact(
+        spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet")),
+        art,
+    )
+    q = stream_mentions(spark, in_dir, out_dir, ckpt, art)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    batch = detect_mentions(spark.read.parquet(in_dir), art)
+    key = lambda r: (r["doc_id"], r["span_idx"], r["surface"], r["id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 0
+
+
+def test_stateful_entity_counts(spark, bundle, fixture_dir, tmp_path):
+    """applyInPandasWithState running counts: processed over several
+    micro-batches (maxFilesPerTrigger=4 < file count), the LAST update
+    per entity must equal the batch groupBy count."""
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.streaming.stateful import run_entity_counts
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+    docs.limit(200).repartition(8).write.parquet(in_dir)  # > 1 micro-batch
+    bc = spark.sparkContext.broadcast(build_dictionary(bundle.terms))
+    q = run_entity_counts(spark, in_dir, ckpt, bc, query_name="ec_test")
+    q.awaitTermination(180)
+
+    updates = spark.sql("SELECT * FROM ec_test").collect()
+    assert updates, "stateful stream emitted no updates"
+    final = {}
+    for r in updates:  # update mode appends one row per (batch, id);
+        final[r["id"]] = max(final.get(r["id"], 0), r["n"])  # last = max (monotone)
+    batch = {
+        r["id"]: r["n"]
+        for r in detect_mentions(spark.read.parquet(in_dir), bc)
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == batch
