@@ -10,8 +10,9 @@ prints ONE JSON line:
    "scaling": {"local8_tps": ..., "local32_tps": ..., "efficiency": ...}}
 
 The scaling block is the sandbox evidence for the north rule's
-N→4N-executor criterion: the same KG job at local[8] vs local[32]
-on identical input (BASELINE.md).
+N→4N-executor criterion: the same KG job — identical input, identical
+partitioning — at local[N] vs local[4N] (default 4/16, BASELINE.md),
+in two consecutive windows each carrying its own environment ceiling.
 """
 
 from __future__ import annotations
@@ -154,10 +155,20 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
 
 
 def _run_config(
-    master_cpus: int, corpus_dir: str, in_session_reps: int = 3
+    master_cpus: int,
+    corpus_dir: str,
+    in_session_reps: int = 3,
+    parts: int | None = None,
 ) -> tuple[list[float], int]:
     """One session per parallelism level, ``in_session_reps`` runs of
     the SAME job inside it, scratch cleared between runs.
+
+    ``parts`` fixes the data/shuffle partitioning ACROSS levels — the
+    honest N→4N-executor comparison: a cluster job's input splits and
+    shuffle partitioning do not change when executors are added, only
+    the wave count does. (Round-3 measured: per-level 2×cpus
+    partitioning under-reports scaling — the N-level run gets bigger,
+    per-core-friendlier tasks than the 4N-level run.)
 
     The first run pays JVM JIT + codegen + Python-worker warmup — a
     fixed, mostly-serial cost that a real long-lived executor amortizes
@@ -168,11 +179,13 @@ def _run_config(
     from ontology_matcher_spark.plans.pipeline import build_pipeline_lazy
     from ontology_matcher_spark.session import get_spark, stop_all
 
+    if parts is None:
+        parts = 2 * master_cpus
     stop_all()
     spark = get_spark(
         f"bench-{master_cpus}",
         master=f"local[{master_cpus}]",
-        shuffle_partitions=2 * master_cpus,
+        shuffle_partitions=parts,
     )
     import gc
 
@@ -192,7 +205,7 @@ def _run_config(
     build_pipeline_lazy(
         spark,
         corpus_dir,
-        num_partitions=2 * master_cpus,
+        num_partitions=parts,
         detect_documents=True,
         replicate_docs=1,
         detect_artifact_dir=artifact,
@@ -208,7 +221,7 @@ def _run_config(
             lambda: build_pipeline_lazy(
                 spark,
                 corpus_dir,
-                num_partitions=2 * master_cpus,
+                num_partitions=parts,
                 detect_documents=True,  # docs→detect→link→CC→triples
                 replicate_docs=SCALING_REPLICATION,
                 detect_artifact_dir=artifact,
@@ -226,7 +239,9 @@ def _run_config(
     return times, n
 
 
-def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
+def _ceiling_config(
+    master_cpus: int, reps: int = 3, parts: int | None = None
+) -> float:
     """Warm minimum of a CANONICAL Spark job (parquet scan → shuffle →
     hash agg) at one parallelism level — the environment's achievable
     scaling ceiling for JVM columnar work on this box. The sandbox's
@@ -240,11 +255,13 @@ def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
 
     from ontology_matcher_spark.session import get_spark, stop_all
 
+    if parts is None:
+        parts = 2 * master_cpus
     stop_all()
     spark = get_spark(
         f"ceiling-{master_cpus}",
         master=f"local[{master_cpus}]",
-        shuffle_partitions=2 * master_cpus,
+        shuffle_partitions=parts,
     )
     src = os.path.join(BENCH_TMP, "ceiling_src.parquet")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
@@ -263,7 +280,7 @@ def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
     for _ in range(reps):
         secs, _ = timed(
             lambda: (
-                df.repartition(2 * master_cpus)
+                df.repartition(parts)
                 .groupBy("k")
                 .agg(
                     F.count("*").alias("c"),
@@ -283,13 +300,16 @@ def _ceiling_config(master_cpus: int, reps: int = 3) -> float:
 def _one_window(
     corpus_dir: str, cpus_a: int, cpus_b: int, reps: int
 ) -> dict:
-    times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps)
-    times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps)
+    # one fixed partitioning across BOTH levels, sized for the larger
+    # (see _run_config docstring)
+    parts = 2 * cpus_b
+    times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps, parts=parts)
+    times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps, parts=parts)
     assert n == n2, (n, n2)
     best_a, best_b = min(times_a), min(times_b)
     tps_a, tps_b = n / best_a, n / best_b
-    ceil_a = _ceiling_config(cpus_a, reps)
-    ceil_b = _ceiling_config(cpus_b, reps)
+    ceil_a = _ceiling_config(cpus_a, reps, parts=parts)
+    ceil_b = _ceiling_config(cpus_b, reps, parts=parts)
     speedup = tps_b / tps_a
     ceil_speedup = ceil_a / ceil_b
     return {

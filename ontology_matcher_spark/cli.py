@@ -133,6 +133,7 @@ def cmd_pipeline(args) -> int:
         strategy=Strategy(args.strategy),
         num_partitions=args.num_partitions,
         detect_documents=args.detect_documents,
+        partition_stats=args.partition_stats,
     )
     print(f"triples: {triples.count()}")
     return 0
@@ -231,6 +232,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--detect-documents", action="store_true",
                     help="Prepend dictionary mention detection over "
                          "documents.parquet as a checkpointed stage")
+    pp.add_argument("--partition-stats", action="store_true",
+                    help="Record per-partition row counts into the "
+                         "lineage table (skew observability)")
     pp.set_defaults(fn=cmd_pipeline)
 
     pb = sub.add_parser(

@@ -313,9 +313,24 @@ def build_pipeline_lazy(
 
 # ------------------------------------------------------------------ runner
 class PipelineRun:
-    """Checkpointed, resumable multi-stage run with lineage counters."""
+    """Checkpointed, resumable multi-stage run with lineage counters.
 
-    def __init__(self, spark: SparkSession, out_dir: str, run_id: str | None = None):
+    ``partition_stats=True`` additionally records PER-PARTITION row
+    statistics for every stage table (north rule: per-partition
+    lineage rows): one lineage row per written file plus
+    min/max/total summaries — the operational skew signal (a hot
+    entity shows up as one partition file holding orders of magnitude
+    more rows than its siblings). Costs one extra metadata-cheap scan
+    of the stage output per stage; off by default on the hot bench
+    path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        run_id: str | None = None,
+        partition_stats: bool = False,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.stage_dir = os.path.join(out_dir, "stages")
@@ -326,6 +341,7 @@ class PipelineRun:
         self.manifest.setdefault("run_id", self.run_id)
         self.manifest.setdefault("stages", {})
         self.lineage: list[dict] = []
+        self.partition_stats = partition_stats
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -370,9 +386,44 @@ class PipelineRun:
                 "input_fingerprint": "",
             }
         )
+        out = self.spark.read.parquet(path)
+        if self.partition_stats:
+            # per-partition lineage: rows per written file (skew signal)
+            per_file = (
+                out.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            for r in sorted(per_file, key=lambda r: r["f"]):
+                self.lineage.append(
+                    {
+                        "run_id": self.run_id,
+                        "stage": name,
+                        "metric": "partition_rows",
+                        "value": int(r["n"]),
+                        "wall_ms": 0,
+                        "input_fingerprint": os.path.basename(r["f"]),
+                    }
+                )
+            counts = [int(r["n"]) for r in per_file] or [0]
+            for metric, v in (
+                ("partitions", len(per_file)),
+                ("partition_rows_max", max(counts)),
+                ("partition_rows_min", min(counts)),
+            ):
+                self.lineage.append(
+                    {
+                        "run_id": self.run_id,
+                        "stage": name,
+                        "metric": metric,
+                        "value": int(v),
+                        "wall_ms": 0,
+                        "input_fingerprint": "",
+                    }
+                )
         self.manifest["stages"][name] = "done"
         self._save_manifest()
-        return self.spark.read.parquet(path)
+        return out
 
     def flush_lineage(self) -> None:
         if not self.lineage:
@@ -394,6 +445,7 @@ def run_pipeline(
     strategy: Strategy = Strategy.MIXTURE,
     num_partitions: int | None = None,
     detect_documents: bool = False,
+    partition_stats: bool = False,
 ) -> DataFrame:
     """Full batch run over fixture tables → triples table (returned).
 
@@ -407,7 +459,7 @@ def run_pipeline(
     resumable stage (the detection artifact lives under ``out_dir``
     and is reused across resumes via its _SUCCESS markers).
     """
-    run = PipelineRun(spark, out_dir)
+    run = PipelineRun(spark, out_dir, partition_stats=partition_stats)
     mentions = spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
     if num_partitions:
         mentions = mentions.repartition(num_partitions)

@@ -86,3 +86,42 @@ def test_triples_canonicalization(spark, bundle, fixture_dir, tmp_path):
             continue
         # canonical must be a member of the same latent cluster
         assert obj in c.members or obj == subj, (subj, obj, c.key)
+
+
+def test_partition_stats_lineage(spark, fixture_dir, tmp_path):
+    """partition_stats=True records per-partition lineage rows (the
+    north rule's per-partition lineage): one partition_rows row per
+    written file per stage, plus partitions/max/min summaries whose
+    totals reconcile with rows_out."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "kgout_ps")
+    run_pipeline(spark, fixture_dir, out, partition_stats=True)
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    stages = [r["stage"] for r in lin.select("stage").distinct().collect()]
+    assert set(stages) >= {"formatted", "canonical", "triples"}
+    for stage in ("formatted", "canonical", "triples"):
+        rows_out = lin.where(
+            (F.col("stage") == stage) & (F.col("metric") == "rows_out")
+        ).collect()[0]["value"]
+        per_part = [
+            r["value"]
+            for r in lin.where(
+                (F.col("stage") == stage) & (F.col("metric") == "partition_rows")
+            ).collect()
+        ]
+        assert per_part and sum(per_part) == rows_out
+        summary = {
+            r["metric"]: r["value"]
+            for r in lin.where(
+                (F.col("stage") == stage)
+                & (F.col("metric").isin("partitions", "partition_rows_max", "partition_rows_min"))
+            ).collect()
+        }
+        assert summary["partitions"] == len(per_part)
+        assert summary["partition_rows_max"] == max(per_part)
+        assert summary["partition_rows_min"] == min(per_part)
