@@ -36,6 +36,40 @@ _ATEXIT_REGISTERED: set[str] = set()
 #: process exit and would otherwise accumulate forever
 _STALE_SECS = 6 * 3600
 
+#: owner-liveness marker each session writes into its scratch root: a
+#: live long-running session's dir can easily go >_STALE_SECS without
+#: an mtime touch (early-materialized tables still referenced by lazy
+#:  plans), so mtime alone must never be grounds for reaping
+_OWNER_MARKER = "_OWNER_PID"
+
+
+def _write_owner_marker(root: str) -> None:
+    try:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, _OWNER_MARKER), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def _owner_alive(p: str) -> bool:
+    """True iff the dir's owner marker names a process that still
+    exists on THIS host (the scratch base is per-host: tmpfs locally,
+    and on a cluster each executor host has its own). No marker →
+    written by an older version → fall back to mtime staleness."""
+    try:
+        with open(os.path.join(p, _OWNER_MARKER)) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
 
 def _reap_stale_siblings(mat_base: str, own: str) -> None:
     try:
@@ -48,6 +82,8 @@ def _reap_stale_siblings(mat_base: str, own: str) -> None:
         if p == own:
             continue
         try:
+            if _owner_alive(p):
+                continue
             if now - os.path.getmtime(p) > _STALE_SECS:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
@@ -69,6 +105,7 @@ def scratch_root(spark: SparkSession) -> str:
         # this session's dir dies with the process even when the caller
         # (CLI commands, crashed runs) never calls clear_scratch()
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _write_owner_marker(root)
         _reap_stale_siblings(os.path.join(base, "materialize"), root)
     return root
 
@@ -100,4 +137,8 @@ def clear_scratch(spark: SparkSession) -> None:
     """Delete every materialized table of this session. Call between
     independent runs in a shared session (bench reps, test modules) —
     NOT while a returned DataFrame is still to be consumed."""
-    shutil.rmtree(scratch_root(spark), ignore_errors=True)
+    root = scratch_root(spark)
+    shutil.rmtree(root, ignore_errors=True)
+    # the rmtree took the owner marker with it — restore it so a
+    # sibling session starting later still sees this one as live
+    _write_owner_marker(root)

@@ -123,6 +123,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k_shingle: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -134,9 +135,12 @@ def minhash_lsh_pairs(
     it guards against only appears in production corpora) drops
     (band, hash) buckets wider than this many DISTINCT signatures;
     exact-duplicate pileups never trip it because signature-identical
-    docs are collapsed to one representative before banding. Drops
-    are logged and recorded in guards.LAST_DROP_STATS — never silent.
-    Pass None to disable."""
+    docs are collapsed to one representative before banding. NOTE:
+    default ON since round 3 — callers needing provably complete pair
+    sets must pass None. Drops are never silent: logged, written into
+    the caller's ``drop_stats`` dict (the reliable channel), and
+    mirrored in guards.LAST_DROP_STATS (process-local, last-call-wins
+    convenience only)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k_shingle)
 
@@ -183,9 +187,11 @@ def minhash_lsh_pairs(
     # recompute the shingle→signature aggregation for BOTH sides
     banded = materialize(banded, "mh-banded")
     if max_bucket is not None:
-        banded = apply_bucket_guard(
+        banded, stats = apply_bucket_guard(
             banded, ["band", "bh"], max_bucket, "minhash_lsh_pairs"
         )
+        if drop_stats is not None:
+            drop_stats.update(stats)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

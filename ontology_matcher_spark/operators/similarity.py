@@ -315,6 +315,7 @@ def embedding_near_dup_multiband(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """The 100 TB shape of embedding near-dup: ``len(bands)``
     INDEPENDENT hyperplane tables. Each band uses enough planes that
@@ -325,18 +326,27 @@ def embedding_near_dup_multiband(
     is a candidate when ANY band agrees; verification is one exact
     cosine over the deduped candidate set.
 
-    ``max_bucket`` (ON by default) drops degenerate buckets — pass
-    None to disable. Drops are never silent: the count is logged and
-    recorded in guards.LAST_DROP_STATS."""
+    ``max_bucket`` (ON by default since round 3 — pass None when a
+    provably complete pair set is required) drops degenerate buckets.
+    Drops are never silent: logged, written into the caller's
+    ``drop_stats`` dict, and mirrored in guards.LAST_DROP_STATS."""
+    from ontology_matcher_spark.functions.materialize import materialize
+
     dim = len(bands[0][0])
     vb = _with_band_buckets(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", bands, ["id", "v"],
     )
+    # materialize the bucket table BEFORE the guard scan + self-join:
+    # without it the pandas-UDF bucketing matmul executes once for the
+    # guard's eager count and once per self-join side (~3× per call)
+    vb = materialize(vb, "emb-banded")
     if max_bucket is not None:
-        vb = apply_bucket_guard(
+        vb, stats = apply_bucket_guard(
             vb, ["band", "bucket"], max_bucket, "embedding_near_dup_multiband"
         )
+        if drop_stats is not None:
+            drop_stats.update(stats)
     a, b = vb.alias("a"), vb.alias("b")
     cand = (
         a.join(

@@ -36,6 +36,21 @@ def word_tokens(text: Column) -> Column:
     return F.array_remove(F.split(lowered, r"[^a-z0-9]+"), "")
 
 
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    """Occurrence count of ``markers`` in a token array, duplicates
+    included, WITHOUT a higher-order-function lambda: `F.filter(...,
+    lambda)` compiles to `lambdafunction` which is CodegenFallback
+    (interpreted per row), while `array_remove` stays inside
+    whole-stage codegen. `size(t) - size(array_remove(t, m))` is the
+    exact occurrence count of m (array_remove strips every occurrence
+    and keeps other duplicates), so the sum over distinct markers
+    equals the oracle's `list_filter(t, x -> x IN markers)` length."""
+    hits = F.lit(0)
+    for m in markers:
+        hits = hits + (F.size(toks) - F.size(F.array_remove(toks, m)))
+    return hits
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features."""
     t = F.coalesce(F.col(text_col), F.lit(""))
@@ -44,9 +59,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin(*_LANG_MARKERS["en"]))
-    )
+    n_stop = _marker_hits(toks, _LANG_MARKERS["en"])
     return (
         df.withColumn("n_chars_calc", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
@@ -72,8 +85,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for lang, markers in _LANG_MARKERS.items():
         out = out.withColumn(
-            f"hits_{lang}",
-            F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long"),
+            f"hits_{lang}", _marker_hits(toks, markers).cast("long")
         )
     langs = list(_LANG_MARKERS)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])

@@ -317,12 +317,17 @@ class PipelineRun:
 
     ``partition_stats=True`` additionally records PER-PARTITION row
     statistics for every stage table (north rule: per-partition
-    lineage rows): one lineage row per written file plus
-    min/max/total summaries — the operational skew signal (a hot
-    entity shows up as one partition file holding orders of magnitude
-    more rows than its siblings). Costs one extra metadata-cheap scan
-    of the stage output per stage; off by default on the hot bench
-    path."""
+    lineage rows): one lineage row for each of the TOP-K most-loaded
+    written files (``partition_stats_topk``, default 16) plus
+    partitions/min/max/total summaries — the operational skew signal
+    (a hot entity shows up as one partition file holding orders of
+    magnitude more rows than its siblings, which is exactly what a
+    top-k-by-rows listing surfaces). The per-file aggregation and the
+    top-k cut both run Spark-side, so the driver holds O(k) rows per
+    stage regardless of file count — a stage writing tens of
+    thousands of files at 100× scale no longer builds a driver-side
+    array per stage. Costs one extra metadata-cheap scan of the stage
+    output per stage; off by default on the hot bench path."""
 
     def __init__(
         self,
@@ -330,6 +335,7 @@ class PipelineRun:
         out_dir: str,
         run_id: str | None = None,
         partition_stats: bool = False,
+        partition_stats_topk: int = 16,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -342,6 +348,7 @@ class PipelineRun:
         self.manifest.setdefault("stages", {})
         self.lineage: list[dict] = []
         self.partition_stats = partition_stats
+        self.partition_stats_topk = partition_stats_topk
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -388,13 +395,22 @@ class PipelineRun:
         )
         out = self.spark.read.parquet(path)
         if self.partition_stats:
-            # per-partition lineage: rows per written file (skew signal)
-            per_file = (
-                out.groupBy(F.input_file_name().alias("f"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+            # per-partition lineage: rows per written file (skew
+            # signal). Summary aggregates and the top-k-by-rows cut
+            # run Spark-side; only O(k) rows ever reach the driver.
+            per_file = out.groupBy(F.input_file_name().alias("f")).agg(
+                F.count(F.lit(1)).alias("n")
             )
-            for r in sorted(per_file, key=lambda r: r["f"]):
+            summary_row = per_file.agg(
+                F.count(F.lit(1)).alias("parts"),
+                F.coalesce(F.max("n"), F.lit(0)).alias("mx"),
+                F.coalesce(F.min("n"), F.lit(0)).alias("mn"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("tot"),
+            ).first()
+            top = per_file.orderBy(F.desc("n"), "f").limit(
+                self.partition_stats_topk
+            ).collect()
+            for r in sorted(top, key=lambda r: r["f"]):
                 self.lineage.append(
                     {
                         "run_id": self.run_id,
@@ -405,11 +421,11 @@ class PipelineRun:
                         "input_fingerprint": os.path.basename(r["f"]),
                     }
                 )
-            counts = [int(r["n"]) for r in per_file] or [0]
             for metric, v in (
-                ("partitions", len(per_file)),
-                ("partition_rows_max", max(counts)),
-                ("partition_rows_min", min(counts)),
+                ("partitions", int(summary_row["parts"])),
+                ("partition_rows_max", int(summary_row["mx"])),
+                ("partition_rows_min", int(summary_row["mn"])),
+                ("partition_rows_total", int(summary_row["tot"])),
             ):
                 self.lineage.append(
                     {

@@ -76,6 +76,7 @@ def ship_package(spark: SparkSession) -> str:
     deployment contract). Local[] mode shares the driver's sys.path;
     separate executor JVMs (local-cluster / standalone / yarn) need
     the package on every worker's PYTHONPATH."""
+    import atexit
     import tempfile
     import zipfile
 
@@ -97,7 +98,18 @@ def ship_package(spark: SparkSession) -> str:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
+    # addPyFile copies the zip into Spark's own file-server dir, so the
+    # mkstemp source is dead weight from here on — without cleanup a
+    # long-lived host accumulates one orphaned multi-MB zip per session
+    atexit.register(_unlink_quiet, zip_path)
     return zip_path
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def stop_all() -> None:
