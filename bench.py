@@ -117,6 +117,8 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
         os.path.join(corpus_dir, "documents.parquet")
     ).repartition(2 * CPUS)
 
+    tag = os.path.basename(corpus_dir.rstrip("/"))
+
     # stage micro-benches on the scaled corpus
     gene = ONTOLOGY_TYPES["Gene"]
     v = validate_mentions(mentions.where(F.col("label") == "Gene"), gene)
@@ -130,7 +132,9 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
     )
     # distributed dictionary build (timed separately from the scan:
     # on a cluster the artifact is a reusable build-job output)
-    artifact = os.path.join(BENCH_TMP, "detect_dict_artifact")
+    # keyed by corpus tag (AND fingerprint-stamped by the build) so a
+    # corpus bump can never silently serve a stale dictionary
+    artifact = os.path.join(BENCH_TMP, f"detect_dict_artifact_{tag}")
     q["kg_dict_build"], _ = timed(
         lambda: write_detection_artifact(terms, artifact)
     )
@@ -193,8 +197,13 @@ def _run_config(
     # reused by every rep — it is a build-job output keyed by the
     # dictionary input (the production deployment builds it once and
     # serves many detection runs), so timing it inside each rep would
-    # charge the pipeline a cost real deployments amortize away
-    artifact = os.path.join(BENCH_TMP, "scaling_detect_artifact")
+    # charge the pipeline a cost real deployments amortize away.
+    # Path keyed by corpus tag + fingerprint-checked on reuse
+    # (detected_mentions_df), so corpus bumps force a rebuild.
+    artifact = os.path.join(
+        BENCH_TMP,
+        f"scaling_detect_artifact_{os.path.basename(corpus_dir.rstrip('/'))}",
+    )
 
     # untimed warmup at 1× replication: compiles the full plan's
     # codegen + JIT + Python workers cheaply (and builds the detection

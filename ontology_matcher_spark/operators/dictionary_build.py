@@ -296,6 +296,57 @@ def detection_fuzzy_index(surfaces: DataFrame, min_len: int = 5) -> DataFrame:
     ).distinct()
 
 
+def detection_input_fingerprint(
+    terms: DataFrame,
+    xref_edges: DataFrame | None = None,
+    extra_term_rows: list[dict] | None = None,
+) -> str:
+    """Order-insensitive fingerprint of the artifact's DICTIONARY
+    INPUT (term rows + xref edges + ad-hoc extras): row count plus a
+    bit_xor of per-row xxhash64 — one cheap map-side-combinable agg
+    per table, no collect. `write_detection_artifact` stamps this into
+    ``<path>/_FINGERPRINT`` so reuse checks key the artifact by what
+    it was built FROM, not merely by its output path: a pre-existing
+    artifact built from different dictionary contents must be rebuilt,
+    not silently served (the round-3 bench corpus v2→v3 bump exposed
+    exactly that staleness)."""
+    t = terms.select("curie", "name", "synonyms")
+    trow = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(
+                F.xxhash64(
+                    "curie", "name", F.concat_ws("\x1f", F.col("synonyms"))
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    parts = [f"t:{trow['n']}:{trow['h']}"]
+    if xref_edges is None:
+        parts.append("x:none")
+    else:
+        xrow = xref_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src_curie", "dst_curie")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        parts.append(f"x:{xrow['n']}:{xrow['h']}")
+    if extra_term_rows:
+        import hashlib
+
+        blob = "\x1e".join(
+            f"{r['curie']}\x1f{r.get('name') or ''}\x1f"
+            + "\x1f".join(sorted(r.get("synonyms") or []))
+            for r in sorted(extra_term_rows, key=lambda r: r["curie"])
+        )
+        parts.append(f"e:{hashlib.sha256(blob.encode()).hexdigest()[:16]}")
+    else:
+        parts.append("e:none")
+    return ";".join(parts)
+
+
 def write_detection_artifact(
     terms: DataFrame,
     path: str,
@@ -340,6 +391,16 @@ def write_detection_artifact(
     detection_fuzzy_index(spark.read.parquet(f"{path}/surfaces")).write.mode(
         "overwrite"
     ).parquet(f"{path}/fuzzy")
+    # stamp the input fingerprint LAST: its presence implies a complete
+    # build from exactly these inputs (reuse checks compare it before
+    # skipping a rebuild — see pipeline.detected_mentions_df)
+    from ontology_matcher_spark.functions.fs import fs_write_text
+
+    fs_write_text(
+        spark,
+        f"{path}/_FINGERPRINT",
+        detection_input_fingerprint(terms, xref_edges, extra_term_rows),
+    )
     return path
 
 

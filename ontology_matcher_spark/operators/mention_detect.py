@@ -201,11 +201,18 @@ def load_detection_artifact(path: str) -> dict[str, Any]:
     README.md:99 — 810k surfaces + 724k fuzzy variants) assembles in
     ~11 s to ~0.7 GB RSS delta per worker process — acceptable on
     production executors (4-8 GB/core). Workers share nothing, so the
-    per-executor cost is bounded by worker reuse + this cache."""
-    d = _ARTIFACT_CACHE.get(path)
+    per-executor cost is bounded by worker reuse + this cache.
+
+    The cache key includes the artifact's stamped ``_FINGERPRINT``
+    (one tiny file read per task): rebuilding an artifact IN PLACE
+    from different dictionary inputs must invalidate reused workers'
+    cached assembly, or they keep serving the old dictionary."""
+    import os
+
+    key = (path, _artifact_stamp(os.path.join(path, "_FINGERPRINT")))
+    d = _ARTIFACT_CACHE.get(key)
     if d is not None:
         return d
-    import os
 
     import pyarrow.parquet as pq
 
@@ -229,8 +236,18 @@ def load_detection_artifact(path: str) -> dict[str, Any]:
     )
     while len(_ARTIFACT_CACHE) >= 2:  # bound reused-worker memory across runs
         _ARTIFACT_CACHE.pop(next(iter(_ARTIFACT_CACHE)))
-    _ARTIFACT_CACHE[path] = d
+    _ARTIFACT_CACHE[key] = d
     return d
+
+
+def _artifact_stamp(fp_path: str) -> str:
+    """Contents of the artifact's _FINGERPRINT marker ("" when the
+    artifact predates fingerprint stamping)."""
+    try:
+        with open(fp_path) as f:
+            return f.read().strip()
+    except OSError:
+        return ""
 
 
 def _scan_text(

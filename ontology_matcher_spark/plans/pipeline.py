@@ -207,14 +207,26 @@ def detected_mentions_df(
         artifact_dir = _os.path.join(
             scratch_root(spark), f"detect-dict-{_uuid.uuid4().hex[:8]}"
         )
-    # idempotent: a caller-supplied artifact_dir whose build completed
-    # (every sub-table has its _SUCCESS marker) is REUSED — the
-    # artifact is a build-job output keyed by its dictionary input, so
-    # repeated runs over the same dictionary skip the build entirely
+    # idempotent: a caller-supplied artifact_dir is REUSED only when
+    # (a) every sub-table has its _SUCCESS marker AND (b) the stamped
+    # _FINGERPRINT matches this run's dictionary input — the artifact
+    # is keyed by what it was built FROM, so a path left over from a
+    # different term/edge set is rebuilt, never silently served.
+    # Existence/marker checks go through the Hadoop FileSystem, so the
+    # shared-storage (HDFS/S3) reuse path works, not just local FS.
+    from ontology_matcher_spark.functions.fs import fs_exists, fs_read_text
+    from ontology_matcher_spark.operators.dictionary_build import (
+        detection_input_fingerprint,
+    )
+
     complete = all(
-        _os.path.exists(_os.path.join(artifact_dir, sub, "_SUCCESS"))
+        fs_exists(spark, f"{artifact_dir}/{sub}/_SUCCESS")
         for sub in ("surfaces", "curies", "xrefs", "fuzzy")
     )
+    if complete:
+        want = detection_input_fingerprint(terms, xref_edges)
+        have = fs_read_text(spark, f"{artifact_dir}/_FINGERPRINT")
+        complete = have is not None and have.strip() == want
     if not complete:
         write_detection_artifact(terms, artifact_dir, xref_edges)
     best = best_candidate_per_mention(detect_mentions(documents, artifact_dir))

@@ -129,3 +129,50 @@ def test_build_terms_and_edges(spark):
     for e in edges:
         assert e["distance"] == 1
         assert e["src_ns"] == e["src_curie"].split(":")[0]
+
+
+# ---------------------- artifact reuse keyed by input fingerprint
+def test_artifact_fingerprint_forces_rebuild(spark, tmp_path):
+    """A pre-existing artifact dir is reused ONLY when its stamped
+    _FINGERPRINT matches the current dictionary input: changing the
+    term table at the same path must rebuild, not serve stale terms
+    (ADVICE r3: the bench corpus v2→v3 bump silently reused the old
+    artifact)."""
+    from ontology_matcher_spark.operators.dictionary_build import (
+        detection_input_fingerprint,
+    )
+    from ontology_matcher_spark.plans.pipeline import detected_mentions_df
+
+    def terms_df(names):
+        return spark.createDataFrame(
+            [(f"MESH:D{i}", n, "Disease", [], "", [n]) for i, n in enumerate(names)],
+            "curie string, name string, label string, "
+            "xrefs array<string>, parent_curie string, synonyms array<string>",
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [("text", "patient shows oldterm and newterm today", "", 0)],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>",
+    )
+    path = str(tmp_path / "artifact")
+    t1, t2 = terms_df(["oldterm"]), terms_df(["newterm"])
+    assert detection_input_fingerprint(t1) != detection_input_fingerprint(t2)
+
+    out1 = detected_mentions_df(spark, docs, t1, artifact_dir=path)
+    assert {r["name"] for r in out1.collect()} == {"oldterm"}
+    # same path, same input → reused (fingerprint matches)
+    fp_file = tmp_path / "artifact" / "_FINGERPRINT"
+    assert fp_file.exists()
+    mtime1 = fp_file.stat().st_mtime
+    out1b = detected_mentions_df(spark, docs, t1, artifact_dir=path)
+    assert {r["name"] for r in out1b.collect()} == {"oldterm"}
+    assert fp_file.stat().st_mtime == mtime1  # no rebuild happened
+    # same path, DIFFERENT input → rebuilt, new terms detected
+    out2 = detected_mentions_df(spark, docs, t2, artifact_dir=path)
+    assert {r["name"] for r in out2.collect()} == {"newterm"}
