@@ -2,21 +2,30 @@
 opaque binary columns with typed metadata.
 
 The Spark-side plumbing — schemas, partitioning, Arrow UDF signatures,
-batch shapes — is real and tested, and the DECODE step is real for
-container formats whose dimensions are a pure header parse
-(PNG / GIF / BMP — `sniff_media_header`, stdlib only; committed
-fixtures under fixtures/media/). What remains stubbed is FEATURE
-EXTRACTION (pixel decode → embedding), which needs image/audio
-libraries not present in this container: `extract_media_features`
-with ``fake=True`` substitutes a deterministic hash-seeded featurizer
-so the dataflow can be exercised end-to-end; with ``fake=False`` it
-emits real header metadata and NULL features.
+batch shapes — is real and tested, and so is the IMAGE DECODE path,
+pure stdlib (no image libraries in this container):
+
+- header sniff (`sniff_media_header`): PNG/GIF/BMP dimensions from
+  container bytes;
+- full pixel decode (`decode_image`): PNG (zlib inflate + per-scanline
+  unfilter, 8-bit gray/RGB/palette/alpha, non-interlaced), BMP
+  (uncompressed 24/32bpp BITMAPINFOHEADER, bottom-up or top-down),
+  GIF (LZW decompress, global/local palette, non-interlaced);
+- feature extraction (`extract_media_embeddings`): per-channel
+  pixel-value histograms (8 bins × RGB = 24-dim float embedding,
+  L1-normalized) through the production mapInPandas path.
+
+Audio/video feature extraction still needs codec libraries absent
+here; those kinds yield NULL features with real header metadata.
+`extract_media_features(fake=True)` remains as the deterministic
+hash-seeded featurizer for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,7 +92,7 @@ def _read_media_bytes(media_ref: str) -> bytes | None:
     if media_ref and media_ref.startswith("file://"):
         try:
             with open(media_ref[len("file://"):], "rb") as f:
-                return f.read(1 << 20)  # headers only need the head
+                return f.read(64 << 20)  # full container, bounded
         except OSError:
             return None
     return None
@@ -99,16 +108,294 @@ def _fake_decode(media_ref: str, kind: str, dim: int = 8) -> tuple[int, int, lis
     return width, height, feats
 
 
-def extract_media_embeddings(documents: DataFrame) -> DataFrame:
-    """Pixel/waveform decode → embedding vectors: NOT implementable in
-    this container (no image/audio libraries). The header-metadata
-    path (`extract_media_features(fake=False)`) and the deterministic
-    fake featurizer (`fake=True`) cover the Spark-side plumbing."""
-    raise NotImplementedError(
-        "real media feature extraction requires image/audio libraries "
-        "not present in this container; header metadata decode IS "
-        "implemented (extract_media_features(fake=False)) and the "
-        "deterministic fake featurizer covers the dataflow (fake=True)"
+# ---------------------------------------------- stdlib pixel decoders
+def _unfilter_png(raw: bytes, w: int, h: int, channels: int) -> list[bytearray]:
+    """Inverse of the five PNG scanline filters (RFC 2083 §6) for
+    8-bit samples → one bytearray of w*channels samples per row."""
+    stride = w * channels
+    bpp = channels
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        rows.append(line)
+        prev = line
+    return rows
+
+
+def _decode_png(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """8-bit non-interlaced PNG (gray / RGB / palette / +alpha) →
+    rows of (r, g, b). None for unsupported variants."""
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        return None
+    idat = b""
+    plte = b""
+    pos = 8
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IDAT":
+            idat += chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) < h * (1 + w * channels):
+        return None
+    lines = _unfilter_png(raw, w, h, channels)
+    out: list[list[tuple[int, int, int]]] = []
+    for line in lines:
+        row: list[tuple[int, int, int]] = []
+        for x in range(w):
+            if color == 2:
+                row.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+            elif color == 6:
+                row.append((line[4 * x], line[4 * x + 1], line[4 * x + 2]))
+            elif color == 0:
+                g = line[x]
+                row.append((g, g, g))
+            elif color == 4:
+                g = line[2 * x]
+                row.append((g, g, g))
+            else:  # palette
+                i3 = 3 * line[x]
+                if i3 + 3 > len(plte):
+                    return None
+                row.append((plte[i3], plte[i3 + 1], plte[i3 + 2]))
+        out.append(row)
+    return out
+
+
+def _decode_bmp(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Uncompressed 24/32bpp BITMAPINFOHEADER BMP → rows of (r, g, b),
+    top-down regardless of stored row order."""
+    (off,) = struct.unpack("<I", data[10:14])
+    dib, w, h, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", data[14:34]
+    )
+    if dib < 40 or compression != 0 or bpp not in (24, 32):
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    if off + stride * h > len(data):
+        return None
+    rows: list[list[tuple[int, int, int]]] = []
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        base = off + src_y * stride
+        row = []
+        for x in range(w):
+            p = base + x * nbytes
+            row.append((data[p + 2], data[p + 1], data[p]))  # BGR(A) order
+        rows.append(row)
+    return rows
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, limit: int) -> list[int]:
+    """GIF-variant LZW (LSB-first variable-width codes) → color
+    indices; stops at ``limit`` outputs or the End-Of-Information
+    code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    prev: list[int] | None = None
+    for byte in stream:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size and len(out) < limit:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                return out  # corrupt
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _decode_gif(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """First frame of a non-interlaced GIF87a/89a → rows of (r, g, b).
+    None for interlaced/truncated images."""
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data) and data[pos] != 0x2C:  # seek image descriptor
+        if data[pos] == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            return None
+    if pos >= len(data):
+        return None
+    iw, ih = struct.unpack("<HH", data[pos + 5 : pos + 9])
+    iflags = data[pos + 9]
+    pos += 10
+    if iflags & 0x80:  # local color table overrides global
+        n = 2 << (iflags & 7)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    if iflags & 0x40:  # interlaced — out of scope
+        return None
+    min_code_size = data[pos]
+    pos += 1
+    stream = bytearray()
+    while pos < len(data) and data[pos] != 0:
+        n = data[pos]
+        stream += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    idx = _lzw_decode(bytes(stream), min_code_size, iw * ih)
+    if len(idx) < iw * ih:
+        return None
+    rows = []
+    for y in range(ih):
+        row = []
+        for x in range(iw):
+            i3 = 3 * idx[y * iw + x]
+            if i3 + 3 > len(palette):
+                return None
+            row.append((palette[i3], palette[i3 + 1], palette[i3 + 2]))
+        rows.append(row)
+    return rows
+
+
+def decode_image(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """Container bytes → pixel rows of (r, g, b), or None when the
+    format/variant is outside the supported envelope. Pure stdlib."""
+    try:
+        fmt, _, _ = sniff_media_header(data)
+        if fmt == "png":
+            return _decode_png(data)
+        if fmt == "bmp":
+            return _decode_bmp(data)
+        if fmt == "gif":
+            return _decode_gif(data)
+    except (ValueError, IndexError, struct.error):
+        return None
+    return None
+
+
+def histogram_features(
+    pixels: list[list[tuple[int, int, int]]], bins: int = 8
+) -> list[float]:
+    """Per-channel pixel-value histogram embedding: ``bins`` equal
+    [0,256) buckets per RGB channel, L1-normalized by pixel count →
+    3*bins floats. Deterministic, library-free, and exactly the kind
+    of cheap content signature embedding-near-dup consumes."""
+    counts = [[0] * bins for _ in range(3)]
+    n = 0
+    for row in pixels:
+        for px in row:
+            n += 1
+            for c in range(3):
+                counts[c][px[c] * bins // 256] += 1
+    if n == 0:
+        return [0.0] * (3 * bins)
+    return [round(v / n, 6) for ch in counts for v in ch]
+
+
+def extract_media_embeddings(
+    documents: DataFrame, bins: int = 8
+) -> DataFrame:
+    """documents(doc_id, spans[]) → one row per media span with a REAL
+    content embedding: container bytes are read inside the executor
+    iterator (`file://` refs — an object-store GET on a real cluster),
+    pixel-decoded by the stdlib PNG/BMP/GIF decoders, and reduced to
+    a per-channel histogram embedding (`histogram_features`). Spans
+    whose bytes are unresolvable or whose format is outside the decode
+    envelope (audio/video, interlaced, 16-bit) carry header metadata
+    with NULL features — the row is never dropped, so lineage counts
+    stay reconcilable. Same MEDIA_FEATURES_SCHEMA/mapInPandas shape as
+    `extract_media_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None:
+                    continue
+                for si, span in enumerate(spans):
+                    if span["kind"] == "text":
+                        continue
+                    data = _read_media_bytes(span["media_ref"])
+                    w = h = None
+                    feats = None
+                    if data:
+                        _, w, h = sniff_media_header(data)
+                        pixels = decode_image(data)
+                        if pixels:
+                            feats = histogram_features(pixels, bins)
+                    rows.append(
+                        (doc_id, si, span["media_ref"], span["kind"], w, h, feats)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields]
+            )
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        run, MEDIA_FEATURES_SCHEMA
     )
 
 

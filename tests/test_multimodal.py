@@ -57,8 +57,180 @@ def test_real_decode_over_file_refs(spark):
         assert r["features"] is None  # extraction stays stubbed
 
 
-def test_embeddings_stub_scope(spark):
-    """NotImplementedError scope is feature extraction ONLY."""
-    docs = spark.createDataFrame([], DOCUMENTS)
-    with pytest.raises(NotImplementedError):
-        extract_media_embeddings(docs)
+# ------------------------------------------- real pixel decode (r4)
+def test_png_pixel_decode_pinned():
+    """Expected pixels transcribed BY HAND from tiny.png's inflated
+    IDAT bytes (filter-0 scanlines: 00|00001e0a001e14001e /
+    00|00141e0a141e14141e) — independent of the decoder."""
+    from ontology_matcher_spark.operators.multimodal import decode_image
+
+    with open(os.path.join(MEDIA, "tiny.png"), "rb") as f:
+        px = decode_image(f.read())
+    assert px == [
+        [(0, 0, 30), (10, 0, 30), (20, 0, 30)],
+        [(0, 20, 30), (10, 20, 30), (20, 20, 30)],
+    ]
+
+
+def test_png_filters_roundtrip():
+    """Each PNG filter type (0-4) decodes back to the same pixels: a
+    known 2x2 RGB image is re-encoded per filter with an independent
+    in-test encoder (straight RFC 2083 filter definitions)."""
+    import struct
+    import zlib
+
+    from ontology_matcher_spark.operators.multimodal import decode_image
+
+    pixels = [[(10, 200, 30), (250, 60, 7)], [(0, 128, 255), (33, 44, 55)]]
+    w = h = 2
+    raws = {0: [], 1: [], 2: [], 3: [], 4: []}
+    prev = [0] * (w * 3)
+    flat = [[c for px in row for c in px] for row in pixels]
+    for row in flat:
+        raws[0].append(bytes(row))
+        raws[1].append(bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 255 for i in range(6)))
+        raws[2].append(bytes((row[i] - prev[i]) & 255 for i in range(6)))
+        raws[3].append(bytes(
+            (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 255
+            for i in range(6)
+        ))
+        def paeth(i, row=row, prev=prev):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        raws[4].append(bytes((row[i] - paeth(i)) & 255 for i in range(6)))
+        prev = row
+
+    def make_png(ftype):
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        raw = b"".join(bytes([ftype]) + line for line in raws[ftype])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        assert decode_image(make_png(ftype)) == pixels, f"filter {ftype}"
+
+
+def test_bmp_pixel_decode_pinned():
+    """BMP rows are raw BGR bottom-up — expected values read straight
+    off the committed bytes: bottom row pixels 000000 0a0000 ... (B
+    ascending by 10 per column), G ascending by 10 per row upward."""
+    from ontology_matcher_spark.operators.multimodal import decode_image
+
+    with open(os.path.join(MEDIA, "tiny.bmp"), "rb") as f:
+        px = decode_image(f.read())
+    assert len(px) == 5 and len(px[0]) == 7
+    # decoder returns top-down: top row has the HIGHEST G (4*10)
+    assert px[0] == [(0, 40, 10 * x) for x in range(7)]
+    assert px[4] == [(0, 0, 10 * x) for x in range(7)]  # bottom row
+
+
+def test_gif_pixel_decode_checkerboard():
+    from ontology_matcher_spark.operators.multimodal import decode_image
+
+    with open(os.path.join(MEDIA, "tiny.gif"), "rb") as f:
+        px = decode_image(f.read())
+    blk, wht = (0, 0, 0), (255, 255, 255)
+    assert px == [
+        [[blk, wht][(x + y) % 2] for x in range(5)] for y in range(4)
+    ]
+
+
+def test_lzw_roundtrip_with_table_growth():
+    """_lzw_decode vs an INDEPENDENT in-test LZW encoder that uses
+    real table growth (not the clear-per-literal trick the fixture
+    encoder uses) — exercises the code-width bump and the
+    code==len(table) (KwKwK) special case."""
+    import random
+
+    from ontology_matcher_spark.operators.multimodal import _lzw_decode
+
+    def lzw_encode(indices, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code + 1
+        codes = [(clear, width)]
+        buf = ()
+        for s in indices:
+            if buf + (s,) in table:
+                buf = buf + (s,)
+                continue
+            codes.append((table[buf], width))
+            table[buf + (s,)] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            buf = (s,)
+        if buf:
+            codes.append((table[buf], width))
+        codes.append((eoi, width))
+        bits = []
+        for code, wdt in codes:
+            bits.extend((code >> i) & 1 for i in range(wdt))
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randrange(1, 400)
+        seq = [rng.randrange(4) for _ in range(n)]
+        if trial % 3 == 0:  # runs → KwKwK case
+            seq = [v for v in seq for _ in range(rng.randrange(1, 6))]
+        assert _lzw_decode(lzw_encode(seq, 2), 2, len(seq)) == seq
+
+
+def test_media_embeddings_end_to_end(spark):
+    """extract_media_embeddings: real pixel decode → 24-dim histogram
+    through mapInPandas; expected histograms hand-computed from the
+    pinned pixel patterns above."""
+    spans = [
+        {"kind": "image", "text": "", "media_ref": f"file://{MEDIA}/tiny.png", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": f"file://{MEDIA}/tiny.gif", "offset": 10},
+        {"kind": "image", "text": "", "media_ref": f"file://{MEDIA}/tiny.bmp", "offset": 20},
+        {"kind": "audio", "text": "", "media_ref": "media://audio/0/9", "offset": 30},
+        {"kind": "text", "text": "words", "media_ref": "", "offset": 40},
+    ]
+    docs = spark.createDataFrame([("d0", spans)], DOCUMENTS)
+    rows = {r["span_idx"]: r for r in extract_media_embeddings(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+
+    def close(xs, ys):
+        assert len(xs) == len(ys) and all(abs(a - b) < 1e-4 for a, b in zip(xs, ys))
+
+    # PNG: every channel value < 32 → bin 0 of each channel
+    png = [0.0] * 24
+    png[0] = png[8] = png[16] = 1.0
+    close(rows[0]["features"], png)
+    # GIF checkerboard: half 0 (bin 0), half 255 (bin 7), per channel
+    gif = [0.0] * 24
+    for base in (0, 8, 16):
+        gif[base] = gif[base + 7] = 0.5
+    close(rows[1]["features"], gif)
+    # BMP 7x5 (raw bytes are B,G,R): R all 0 → bin0; G 0..40 by row →
+    # 28/35 bin0 + 7/35 bin1; B 0..60 by column → 20/35 bin0 + 15/35 bin1
+    bmp = [0.0] * 24
+    bmp[0] = 1.0
+    bmp[8], bmp[9] = 28 / 35, 7 / 35
+    bmp[16], bmp[17] = 20 / 35, 15 / 35
+    close(rows[2]["features"], bmp)
+    # undecodable media: metadata row kept, NULL features
+    assert rows[3]["features"] is None and rows[3]["width"] is None
+    assert (rows[0]["width"], rows[0]["height"]) == (3, 2)
