@@ -264,8 +264,10 @@ def lsh_topk_multiband(
     re-rank picks top-k. Fine per-band plane counts keep buckets
     small (probe cost ~ Σ_band |bucket|); the band union recovers the
     recall a single fine table loses to bucket splits — mirroring
-    `embedding_near_dup_multiband`. At scale, write `vectors`
-    partitioned by (band, bucket) so each probe prunes partitions."""
+    `embedding_near_dup_multiband`. At scale, materialize the layout
+    with `write_ann_index` and serve with `ann_probe`: the index is
+    partitioned by (band, bucket) so each probe's scan prunes to the
+    probed buckets' partitions instead of rescanning the table."""
     dim = len(bands[0][0])
     vb = _with_band_buckets(
         vectors.select(F.col(id_col), F.col(vec_col).alias("__v")),
@@ -288,6 +290,96 @@ def lsh_topk_multiband(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def write_ann_index(
+    vectors: DataFrame,
+    bands: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the ANN serving layout `lsh_topk_multiband`
+    prescribes: one copy of each vector per band, written PARTITIONED
+    BY (band, bucket) so a probe's (band, bucket) equality filters
+    prune to exactly the partitions its query hashes into — the
+    pruned read is O(Σ_band |bucket|) files instead of a full-table
+    rescan per query batch. Storage cost: n_bands × the vector table
+    (the standard multi-table LSH trade). The hyperplane bands are
+    stamped into ``<path>/_ANN_META.json`` so probes are
+    self-contained."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_write_text
+
+    vb = _with_band_buckets(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", bands, ["id", "v"],
+    )
+    vb.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    fs_write_text(
+        vectors.sparkSession,
+        f"{path}/_ANN_META.json",
+        json.dumps({"bands": bands, "dim": len(bands[0][0])}),
+    )
+    return path
+
+
+def ann_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k probe against a `write_ann_index` layout: hash the (small,
+    broadcastable) query set into every band, push ONE
+    (band, bucket)-disjunction filter into the parquet scan —
+    partition pruning reads only the probed buckets' files — then
+    union candidates across bands, dedupe, and exact-cosine re-rank.
+    Same output contract as `lsh_topk_multiband` (which recomputes
+    buckets from the raw vector table instead of reading the index)."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_read_text
+
+    meta = json.loads(fs_read_text(spark, f"{path}/_ANN_META.json"))
+    bands = meta["bands"]
+    dim = meta["dim"]
+    qb = _with_band_buckets(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("__qv")
+        ),
+        "__qv", bands, [query_id_col, "__qv"],
+    )
+    # the probed (band, bucket) set is tiny: n_queries × n_bands rows
+    probe_rows = qb.select("band", "bucket").distinct().collect()
+    by_band: dict[int, set[int]] = {}
+    for r in probe_rows:
+        by_band.setdefault(int(r["band"]), set()).add(int(r["bucket"]))
+    pred = None
+    for band, buckets in sorted(by_band.items()):
+        clause = (F.col("band") == band) & F.col("bucket").isin(
+            *sorted(buckets)
+        )
+        pred = clause if pred is None else (pred | clause)
+    if pred is None:  # no queries
+        empty = f"{query_id_col} string, id string, score double, rank int"
+        return spark.createDataFrame([], empty)
+    vb = spark.read.parquet(path).where(pred)
+    cand = vb.join(F.broadcast(qb), ["band", "bucket"]).dropDuplicates(
+        [query_id_col, "id"]
+    )
+    scored = cand.select(
+        query_id_col,
+        "id",
+        cosine_udf(dim)(F.col("v"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def embedding_near_dup(

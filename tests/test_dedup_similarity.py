@@ -319,3 +319,89 @@ def test_embedding_multiband_guard_reports_drops(spark):
     stats = dict(guards.LAST_DROP_STATS)
     assert stats["buckets_dropped"] >= 2  # the pileup bucket in each band
     assert out < 50 * 49 // 2  # pileup pairs did not materialize
+
+
+def test_ann_index_probe_prunes_partitions(spark, tmp_path):
+    """write_ann_index + ann_probe: (band, bucket)-partitioned layout
+    gives the probe (a) EXACTLY lsh_topk_multiband's top-k and (b) a
+    pruned scan — the probed file set is a small fraction of the
+    index's files (partition pruning, the 10^9-vector serving
+    requirement from similarity.py's r3 docstring)."""
+    import glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.operators.similarity import (
+        ann_probe,
+        lsh_topk_multiband,
+        make_band_planes,
+        write_ann_index,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(120, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in base[i] + rng.normal(scale=0.02, size=16)])
+            for i in range(3)
+        ],
+        ["query_id", "query_vec"],
+    )
+    bands = make_band_planes(16, n_planes=5, n_bands=3, seed=17)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(df, bands, path)
+
+    probe = ann_probe(spark, path, q, k=5)
+    ref = lsh_topk_multiband(df, q, bands, k=5)
+    got = {(r["query_id"], r["rank"], r["id"], round(r["score"], 6))
+           for r in probe.collect()}
+    want = {(r["query_id"], r["rank"], r["vec_id"], round(r["score"], 6))
+            for r in ref.collect()}
+    assert got == want and got
+
+    # pruning evidence: files actually read << files in the index
+    total_dirs = len(glob.glob(os.path.join(path, "band=*", "bucket=*")))
+    meta = json_load_bands(spark, path)
+    read_dirs = {
+        os.path.dirname(r[0])
+        for r in pruned_scan(spark, path, q, meta)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert total_dirs >= 40  # layout really fanned out
+    assert len(read_dirs) <= 3 * 3  # ≤ n_queries × n_bands partitions
+    assert len(read_dirs) < total_dirs / 3
+
+
+def json_load_bands(spark, path):
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_read_text
+
+    return json.loads(fs_read_text(spark, f"{path}/_ANN_META.json"))["bands"]
+
+
+def pruned_scan(spark, path, queries, bands):
+    """The probe's pruned read, reproduced for file accounting."""
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.operators.similarity import _with_band_buckets
+
+    qb = _with_band_buckets(
+        queries.select("query_id", F.col("query_vec").alias("__qv")),
+        "__qv", bands, ["query_id", "__qv"],
+    )
+    pred = None
+    for r in qb.select("band", "bucket").distinct().collect():
+        clause = (F.col("band") == int(r["band"])) & (
+            F.col("bucket") == int(r["bucket"])
+        )
+        pred = clause if pred is None else (pred | clause)
+    return spark.read.parquet(path).where(pred)
