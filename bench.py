@@ -49,8 +49,11 @@ BENCH_MENTIONS = 60_000  # per type → 300k mentions
 BENCH_DOCS = 60_000
 #: scaling-job doc replication: at ×1 the job is orchestration-bound
 #: and local[8] BEATS local[32]; ×6 (~360k docs → ~2.3M detected
-#: mentions) makes per-task compute dominate scheduling latency
-SCALING_REPLICATION = 6
+#: mentions) makes per-task compute dominate scheduling latency; ×8
+#: (round 4) further dilutes the CC serial-round floor (~7-10 s at
+#: EITHER level — measured round-latency-bound, not partition-bound),
+#: which at ×6 capped efficiency_vs_ceiling at ~0.85 structurally
+SCALING_REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "8"))
 
 
 def ensure_bench_corpus() -> str:
@@ -151,10 +154,12 @@ def run_queries(spark, corpus_dir: str) -> dict[str, float]:
     # distributed dictionary build (timed separately from the scan:
     # on a cluster the artifact is a reusable build-job output)
     # keyed by corpus tag (AND fingerprint-stamped by the build) so a
-    # corpus bump can never silently serve a stale dictionary
+    # corpus bump can never silently serve a stale dictionary; built
+    # WITH the xref edges — the full production artifact — so
+    # kg_e2e_full's fingerprint check reuses it instead of rebuilding
     artifact = os.path.join(BENCH_TMP, f"detect_dict_artifact_{tag}")
     q["kg_dict_build"], _ = timed(
-        lambda: write_detection_artifact(terms, artifact)
+        lambda: write_detection_artifact(terms, artifact, edges)
     )
     q["kg_detect"], _ = timed(lambda: detect_mentions(docs, artifact).count())
 
@@ -223,18 +228,18 @@ def _run_config(
         f"scaling_detect_artifact_{os.path.basename(corpus_dir.rstrip('/'))}",
     )
 
-    # untimed warmup at 1× replication: compiles the full plan's
-    # codegen + JIT + Python workers cheaply (and builds the detection
-    # artifact), so the timed reps start near steady state (measured:
-    # without it, rep wall was still descending at rep 3 —
-    # 97.7 → 89.6 → 65.1 at local[32])
+    # untimed warmup at FULL replication: compiles codegen + JIT +
+    # Python workers AND touches the timed job's full memory footprint
+    # (this box faults fresh pages at ~4 MB/s — a 1× warmup left the
+    # ×6 job's first rep 37% slow in round 4 run 1: 133.1 s vs a 97.1 s
+    # warm min), so the timed reps start at steady state
     clear_scratch(spark)
     build_pipeline_lazy(
         spark,
         corpus_dir,
         num_partitions=parts,
         detect_documents=True,
-        replicate_docs=1,
+        replicate_docs=SCALING_REPLICATION,
         detect_artifact_dir=artifact,
     ).count()
     gc.collect()

@@ -176,6 +176,66 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_annindex(args) -> int:
+    """Materialize the (band, bucket)-partitioned ANN serving index
+    from an embeddings parquet (vec_id, embedding) — the build-job
+    half of the probe path (similarity.write_ann_index)."""
+    from ontology_matcher_spark.operators.similarity import (
+        make_band_planes,
+        write_ann_index,
+    )
+
+    spark = _get_spark(args)
+    vectors = spark.read.parquet(args.embeddings)
+    dim = len(vectors.select("embedding").first()["embedding"])
+    bands = make_band_planes(
+        dim, n_planes=args.planes, n_bands=args.bands, seed=args.seed
+    )
+    write_ann_index(vectors, bands, args.out)
+    print(f"ann index: {args.out}")
+    return 0
+
+
+def cmd_annprobe(args) -> int:
+    """Top-k probe against an annindex layout; queries = the first N
+    vectors of a parquet (or a dedicated query parquet with
+    query_id/query_vec columns)."""
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.operators.similarity import ann_probe
+
+    spark = _get_spark(args)
+    q = spark.read.parquet(args.queries)
+    if "query_vec" not in q.columns:  # embeddings-table shape
+        q = q.limit(args.num_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    res = ann_probe(spark, args.index, q, k=args.k)
+    res.write.mode("overwrite").parquet(args.out)
+    print(f"topk: {args.out}")
+    return 0
+
+
+def cmd_mediaembed(args) -> int:
+    """Media feature extraction over a documents parquet: stdlib
+    PNG/BMP/GIF pixel decode → per-channel histogram embeddings
+    (multimodal.extract_media_embeddings)."""
+    from ontology_matcher_spark.operators.multimodal import (
+        extract_media_embeddings,
+    )
+
+    spark = _get_spark(args)
+    docs = spark.read.parquet(args.documents)
+    if args.num_partitions:
+        docs = docs.repartition(args.num_partitions)
+    extract_media_embeddings(docs, bins=args.bins).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(f"media features: {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="onto-match-spark",
@@ -256,6 +316,39 @@ def build_parser() -> argparse.ArgumentParser:
     pde.add_argument("--out", "-o", required=True, help="Mention parquet out")
     pde.add_argument("--num-partitions", type=int, default=None)
     pde.set_defaults(fn=cmd_detect)
+
+    pai = sub.add_parser(
+        "annindex", help="Build (band,bucket)-partitioned ANN index"
+    )
+    pai.add_argument("--embeddings", "-i", required=True,
+                     help="Embeddings parquet (vec_id, embedding)")
+    pai.add_argument("--out", "-o", required=True, help="Index directory")
+    pai.add_argument("--planes", type=int, default=12,
+                     help="Hyperplanes per band (bucket fineness)")
+    pai.add_argument("--bands", type=int, default=4,
+                     help="Independent bands (recall)")
+    pai.add_argument("--seed", type=int, default=42)
+    pai.set_defaults(fn=cmd_annindex)
+
+    pap = sub.add_parser("annprobe", help="Top-k probe vs an annindex")
+    pap.add_argument("--index", "-x", required=True, help="annindex dir")
+    pap.add_argument("--queries", "-q", required=True,
+                     help="Query parquet (query_id/query_vec, or an "
+                          "embeddings parquet — first N rows used)")
+    pap.add_argument("--num-queries", type=int, default=100)
+    pap.add_argument("--k", type=int, default=10)
+    pap.add_argument("--out", "-o", required=True, help="Top-k parquet out")
+    pap.set_defaults(fn=cmd_annprobe)
+
+    pme = sub.add_parser(
+        "mediaembed", help="Media pixel decode → histogram embeddings"
+    )
+    pme.add_argument("--documents", "-i", required=True,
+                     help="Interleaved documents parquet (doc_id, spans)")
+    pme.add_argument("--out", "-o", required=True, help="Features parquet out")
+    pme.add_argument("--bins", type=int, default=8)
+    pme.add_argument("--num-partitions", type=int, default=None)
+    pme.set_defaults(fn=cmd_mediaembed)
     return p
 
 

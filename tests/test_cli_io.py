@@ -239,3 +239,47 @@ def test_pipeline_detect_documents_resumable(spark, fixture_dir, tmp_path):
     assert rows1 == rows2
     # detector-derived links actually reached the triple set
     assert any(s.startswith("doc") or p == "skos:exactMatch" for s, p, o in rows1)
+
+
+def test_cli_annindex_probe_mediaembed(spark, tmp_path):
+    """annindex → annprobe as standalone CLI jobs over a tiny
+    embeddings parquet, plus mediaembed over byte-backed media spans."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "emb.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "annidx")
+    topk = str(tmp_path / "topk")
+    assert main(["annindex", "-i", src, "-o", idx,
+                 "--planes", "4", "--bands", "2"]) == 0
+    assert os.path.exists(os.path.join(idx, "_ANN_META.json"))
+    assert main(["annprobe", "-x", idx, "-q", src,
+                 "--num-queries", "3", "--k", "4", "-o", topk]) == 0
+    got = spark.read.parquet(topk)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    # a vector is its own exact nearest neighbour when bucketed with itself
+    r1 = {r["query_id"]: r["id"] for r in rows if r["rank"] == 1}
+    assert all(r1[q] == q for q in r1)
+
+    media = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "media",
+    )
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "image", "text": "",
+                  "media_ref": f"file://{media}/tiny.png", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    dsrc = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dsrc)
+    mout = str(tmp_path / "media_feats")
+    assert main(["mediaembed", "-i", dsrc, "-o", mout]) == 0
+    feats = spark.read.parquet(mout).collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == 24
