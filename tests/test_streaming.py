@@ -83,3 +83,78 @@ def test_stateful_entity_counts(spark, bundle, fixture_dir, tmp_path):
         .groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == batch
+
+
+def test_windowed_watermark_late_data(spark, tmp_path):
+    """Watermarked windowed rollup: append mode emits each finalized
+    (window, type) exactly once; a row arriving LATER than the
+    watermark after its window closed is dropped, not double-counted.
+    Finalized output equals the batch groupBy of the on-time rows."""
+    from datetime import datetime
+
+    from ontology_matcher_spark.streaming.windowed import (
+        stream_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, h, m, typ, val):
+        return (eid, datetime(2026, 1, 1, h, m), 1, typ, float(val), "")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    # drop 1: hours 10 and 11 (the 11:59 row pushes the watermark past
+    # 11:00 + 10min, finalizing hour 10)
+    batch1 = [
+        ev(1, 10, 5, "click", 1.0),
+        ev(2, 10, 30, "click", 2.0),
+        ev(3, 10, 45, "view", 3.0),
+        ev(4, 11, 59, "click", 4.0),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_windowed_event_counts(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == {(10, "click"): (2, 3.0), (10, "view"): (1, 3.0)}
+
+    # drop 2: one LATE row for the already-finalized hour 10 (dropped)
+    # + a 13:30 row that pushes the watermark past hour 11's close
+    batch2 = [
+        ev(5, 10, 50, "click", 100.0),  # late → must NOT appear
+        ev(6, 13, 30, "view", 5.0),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_windowed_event_counts(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got2 = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour 10 unchanged (late row dropped), hour 11 finalized
+    assert got2 == {
+        (10, "click"): (2, 3.0),
+        (10, "view"): (1, 3.0),
+        (11, "click"): (1, 4.0),
+    }
+
+    # batch twin over the ON-TIME rows equals the finalized windows
+    on_time = spark.createDataFrame(
+        [batch1[i] for i in range(4)], schema
+    )
+    batch_rows = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(on_time).collect()
+        if r["window_start"].hour <= 11
+    }
+    assert batch_rows == got2
