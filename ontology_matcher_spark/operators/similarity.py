@@ -458,3 +458,149 @@ def embedding_near_dup_multiband(
     return cand.select(
         "id_a", "id_b", cosine_udf(dim)(F.col("va"), F.col("vb")).alias("cos")
     ).where(F.col("cos") >= threshold)
+
+
+# ------------------------------------------------------ IVF scale path
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    sample_cap: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for an IVF index: Lloyd's k-means on
+    a BOUNDED driver-side sample (≤ ``sample_cap`` rows — the one
+    deliberate, documented collect in this module; training a coarse
+    quantizer on a fixed-size sample is the standard IVF recipe and
+    is independent of table size, so it holds at 10^9 rows). Empty
+    clusters are re-seeded from the farthest points."""
+    n_total = vectors.count()
+    frac = min(1.0, sample_cap / max(n_total, 1))
+    sample = (
+        vectors.sample(fraction=frac, seed=seed) if frac < 1.0 else vectors
+    )
+    X = np.array(
+        [r[0] for r in sample.select(vec_col).collect()], dtype=np.float64
+    )[:sample_cap]
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(0)
+            else:  # re-seed empty cluster from the farthest point
+                C[j] = X[d2.min(1).argmax()]
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_cluster_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment (one matmul per
+    batch, argmin over ||x-c||² = argmax(c·x - ||c||²/2))."""
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    half_norms = (C * C).sum(1) / 2.0
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        A, ok = _stack(v, dim)
+        scores = A @ C.T - half_norms
+        out = scores.argmax(1).astype("int32")
+        out[~ok] = -1
+        return pd.Series(out)
+
+    return _assign
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """IVF serving layout: ONE copy of each vector, PARTITIONED BY its
+    nearest-centroid cluster (vs the LSH layout's n_bands copies —
+    IVF trades the duplication for an nprobe recall knob). Centroids
+    stamped as ``_IVF_META.json`` for self-contained probes."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_write_text
+
+    assigned = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_cluster_udf(centroids)(F.col(vec_col)).alias("cluster"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    fs_write_text(
+        vectors.sparkSession,
+        f"{path}/_IVF_META.json",
+        json.dumps({"centroids": centroids, "dim": len(centroids[0])}),
+    )
+    return path
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k probe against a `write_ivf_index` layout: each query
+    probes its ``nprobe`` nearest centroids' partitions (one cluster
+    IN-filter pushed into the scan — partition pruning), then ONE
+    exact cosine re-rank over the union. Recall rises monotonically
+    with nprobe (nprobe = n_centroids ≡ brute force); same output
+    contract as `ann_probe`."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_read_text
+
+    meta = json.loads(fs_read_text(spark, f"{path}/_IVF_META.json"))
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    dim = meta["dim"]
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        empty = f"{query_id_col} string, id string, score double, rank int"
+        return spark.createDataFrame([], empty)
+    # per-query probed clusters (queries are small/broadcastable by
+    # contract — same assumption as every probe path here)
+    half = (C * C).sum(1) / 2.0
+    probe_pairs = []  # (query_id, cluster)
+    probed: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        order = (C @ qv - half).argsort()[::-1][:nprobe]
+        for c in order:
+            probe_pairs.append((r[query_id_col], int(c)))
+            probed.add(int(c))
+    vb = spark.read.parquet(path).where(F.col("cluster").isin(*sorted(probed)))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qp = F.broadcast(
+        spark.createDataFrame(
+            probe_pairs, f"{query_id_col} {qid_type}, cluster int"
+        ).join(
+            queries.select(
+                query_id_col, F.col(query_vec_col).alias("__qv")
+            ),
+            query_id_col,
+        )
+    )
+    cand = vb.join(qp, "cluster").dropDuplicates([query_id_col, "id"])
+    scored = cand.select(
+        query_id_col,
+        "id",
+        cosine_udf(dim)(F.col("v"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

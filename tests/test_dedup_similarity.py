@@ -405,3 +405,69 @@ def pruned_scan(spark, path, queries, bands):
         )
         pred = clause if pred is None else (pred | clause)
     return spark.read.parquet(path).where(pred)
+
+
+def test_ivf_index_probe_recall_and_pruning(spark, tmp_path):
+    """IVF scale path: centroids trained on a bounded sample, one
+    vector copy partitioned by cluster, nprobe-pruned probe. On a
+    clustered corpus the probe recovers the brute-force top-1 for
+    every query while reading only the probed clusters' partitions;
+    recall rises with nprobe."""
+    import glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_probe,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(41)
+    # 8 well-separated latent clusters of 30 vectors each
+    centers = rng.normal(scale=10.0, size=(8, 12))
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + rng.normal(scale=0.5, size=12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in np.asarray(rows[i][1]) + rng.normal(scale=0.05, size=12)])
+            for i in range(6)
+        ],
+        ["query_id", "query_vec"],
+    )
+
+    centroids = train_ivf_centroids(df, n_centroids=8, iters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, centroids, path)
+    total_dirs = len(glob.glob(os.path.join(path, "cluster=*")))
+    assert total_dirs >= 6  # quantizer actually spread the clusters
+
+    exact = {r["query_id"]: r["vec_id"]
+             for r in brute_force_topk(df, q, k=1).collect()}
+    probe = ivf_probe(spark, path, q, k=1, nprobe=2)
+    got = {r["query_id"]: r["id"] for r in probe.collect() if r["rank"] == 1}
+    assert got == exact  # top-1 recall 100% on separated clusters
+
+    # pruning: files read cover <= nprobe distinct clusters per query
+    read_dirs = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in spark.read.parquet(path)
+        .where(F.col("cluster").isin(list(range(2))))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(read_dirs) <= 2 < total_dirs
+
+    # recall monotone in nprobe: nprobe=n_centroids == brute force top-3
+    exact3 = {(r["query_id"], r["vec_id"])
+              for r in brute_force_topk(df, q, k=3).collect()}
+    all3 = {(r["query_id"], r["id"])
+            for r in ivf_probe(spark, path, q, k=3, nprobe=8).collect()}
+    assert all3 == exact3
