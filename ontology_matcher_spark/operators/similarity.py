@@ -325,6 +325,21 @@ def write_ann_index(
     return path
 
 
+def _empty_topk(
+    spark, queries: DataFrame, query_id_col: str, index_path: str
+) -> DataFrame:
+    """Empty probe result whose query-id AND vector-id types MATCH the
+    normal path's (query-id from the queries frame, id from the
+    index's own parquet schema — callers union/append probe outputs,
+    so the no-queries edge case must not change the schema)."""
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = spark.read.parquet(index_path).schema["id"].dataType.simpleString()
+    return spark.createDataFrame(
+        [],
+        f"{query_id_col} {qid_type}, id {id_type}, score double, rank int",
+    )
+
+
 def ann_probe(
     spark,
     path: str,
@@ -365,8 +380,7 @@ def ann_probe(
         )
         pred = clause if pred is None else (pred | clause)
     if pred is None:  # no queries
-        empty = f"{query_id_col} string, id string, score double, rank int"
-        return spark.createDataFrame([], empty)
+        return _empty_topk(spark, queries, query_id_col, path)
     vb = spark.read.parquet(path).where(pred)
     cand = vb.join(F.broadcast(qb), ["band", "bucket"]).dropDuplicates(
         [query_id_col, "id"]
@@ -487,15 +501,41 @@ def train_ivf_centroids(
     k = min(n_centroids, len(X))
     C = X[rng.choice(len(X), size=k, replace=False)]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+        assign, min_d2 = _assign_chunked(X, C)
         for j in range(k):
             members = X[assign == j]
             if len(members):
                 C[j] = members.mean(0)
             else:  # re-seed empty cluster from the farthest point
-                C[j] = X[d2.min(1).argmax()]
+                C[j] = X[min_d2.argmax()]
     return [[float(x) for x in c] for c in C]
+
+
+#: Lloyd-assignment chunk: peak temp memory is chunk×k float64
+#: (8192×256 = 16 MB), independent of both sample size AND dim.
+_ASSIGN_CHUNK = 8192
+
+
+def _assign_chunked(
+    X: np.ndarray, C: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-centroid assignment via the norm-expansion identity
+    ||x-c||² = ||x||² + ||c||² - 2·x·c — one (chunk × k) matmul per
+    chunk instead of the (n × k × dim) broadcast tensor the naive
+    form materializes (at dim=768/k=256/n=50k that tensor is ~79 GB —
+    driver OOM; this form peaks at ~16 MB regardless of dim). Returns
+    (argmin assignment, per-row min squared distance)."""
+    n, k = len(X), len(C)
+    x2 = np.einsum("ij,ij->i", X, X)
+    c2 = np.einsum("ij,ij->i", C, C)
+    assign = np.empty(n, dtype=np.int64)
+    min_d2 = np.empty(n, dtype=np.float64)
+    for s in range(0, n, _ASSIGN_CHUNK):
+        e = min(s + _ASSIGN_CHUNK, n)
+        d2 = x2[s:e, None] + c2[None, :] - 2.0 * (X[s:e] @ C.T)
+        assign[s:e] = d2.argmin(1)
+        min_d2[s:e] = d2.min(1)
+    return assign, min_d2
 
 
 def ivf_cluster_udf(centroids: list[list[float]]):
@@ -526,17 +566,39 @@ def write_ivf_index(
     """IVF serving layout: ONE copy of each vector, PARTITIONED BY its
     nearest-centroid cluster (vs the LSH layout's n_bands copies —
     IVF trades the duplication for an nprobe recall knob). Centroids
-    stamped as ``_IVF_META.json`` for self-contained probes."""
+    stamped as ``_IVF_META.json`` for self-contained probes.
+
+    Malformed/NULL vectors (cluster -1 from `ivf_cluster_udf`) are
+    EXCLUDED from the index — probes only rank centroid indices
+    0..k-1, so a -1 partition would be dead weight no probe ever
+    reads. The exclusion is logged (guard convention: drops are never
+    silent), so `nprobe = n_centroids ≡ brute force` holds exactly
+    over the indexed (well-formed) rows."""
     import json
+    import logging
 
     from ontology_matcher_spark.functions.fs import fs_write_text
+
+    from pyspark.sql import Observation
 
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         ivf_cluster_udf(centroids)(F.col(vec_col)).alias("cluster"),
     )
+    # count the exclusions IN the write pass (observe, not a second
+    # scan — the cluster UDF is the job's cost and must run once)
+    obs = Observation("ivf_malformed")
+    assigned = assigned.observe(
+        obs, F.sum((F.col("cluster") < 0).cast("long")).alias("n_bad")
+    ).where(F.col("cluster") >= 0)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    n_bad = int(obs.get["n_bad"] or 0)
+    if n_bad:
+        logging.getLogger(__name__).warning(
+            "write_ivf_index: excluded %d malformed/NULL vector(s) "
+            "(cluster -1) from the index at %s", n_bad, path,
+        )
     fs_write_text(
         vectors.sparkSession,
         f"{path}/_IVF_META.json",
@@ -569,8 +631,7 @@ def ivf_probe(
     dim = meta["dim"]
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
-        empty = f"{query_id_col} string, id string, score double, rank int"
-        return spark.createDataFrame([], empty)
+        return _empty_topk(spark, queries, query_id_col, path)
     # per-query probed clusters (queries are small/broadcastable by
     # contract — same assumption as every probe path here)
     half = (C * C).sum(1) / 2.0
@@ -578,7 +639,9 @@ def ivf_probe(
     probed: set[int] = set()
     for r in qrows:
         qv = np.asarray(r[query_vec_col], dtype=np.float64)
-        order = (C @ qv - half).argsort()[::-1][:nprobe]
+        # stable descending order (ties → lower cluster id) — the SAME
+        # rule ivf_nprobe_udf uses, so serving and batch probes agree
+        order = np.argsort(-(C @ qv - half), kind="stable")[:nprobe]
         for c in order:
             probe_pairs.append((r[query_id_col], int(c)))
             probed.add(int(c))
@@ -595,6 +658,142 @@ def ivf_probe(
         )
     )
     cand = vb.join(qp, "cluster").dropDuplicates([query_id_col, "id"])
+    scored = cand.select(
+        query_id_col,
+        "id",
+        cosine_udf(dim)(F.col("v"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# --------------------------------------- batch (no-collect) probe path
+def ivf_nprobe_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched top-``nprobe`` centroid assignment per query
+    vector (the distributed twin of `ivf_probe`'s driver loop; same
+    stable tie rule). Malformed rows get an empty probe list."""
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    half = (C * C).sum(1) / 2.0
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        A, ok = _stack(v, dim)
+        scores = A @ C.T - half
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(
+            [
+                [int(c) for c in row] if o else []
+                for row, o in zip(top, ok)
+            ]
+        )
+
+    return _probe
+
+
+def ivf_probe_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """`ivf_probe` for LARGE query tables — the offline all-vs-index
+    shape: the query table is NEVER collected. Per-query nprobe
+    clusters are assigned by an Arrow-batched UDF, exploded, and
+    joined to the cluster-partitioned index; the only driver-side
+    materialization is the distinct probed-cluster set (≤ n_centroids
+    ints — bounded by index geometry, not query count), pushed as a
+    static IN filter so partition pruning still holds. Same output
+    contract and same results as `ivf_probe` (shared tie rule).
+
+    ``broadcast_queries=True`` broadcast-joins the exploded query
+    side (right when it fits — serving-sized batches); the default
+    shuffle join is the 10^9-query shape."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_read_text
+    from ontology_matcher_spark.functions.materialize import materialize
+
+    meta = json.loads(fs_read_text(spark, f"{path}/_IVF_META.json"))
+    dim = meta["dim"]
+    qp = queries.select(
+        query_id_col,
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(
+            ivf_nprobe_udf(meta["centroids"], nprobe)(F.col(query_vec_col))
+        ).alias("cluster"),
+    )
+    # materialize: the assignment matmul would otherwise run twice
+    # (distinct-cluster scan + join probe)
+    qp = materialize(qp, "ivf-probe-batch")
+    probed = [int(r[0]) for r in qp.select("cluster").distinct().collect()]
+    if not probed:
+        return _empty_topk(spark, queries, query_id_col, path)
+    vb = spark.read.parquet(path).where(F.col("cluster").isin(*sorted(probed)))
+    if broadcast_queries:
+        qp = F.broadcast(qp)
+    cand = vb.join(qp, "cluster").dropDuplicates([query_id_col, "id"])
+    scored = cand.select(
+        query_id_col,
+        "id",
+        cosine_udf(dim)(F.col("v"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ann_probe_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """`ann_probe` for LARGE query tables: queries are hashed into
+    (band, bucket) DISTRIBUTED (never collected); the driver only
+    materializes the distinct probed (band, bucket) set — bounded by
+    the index's partition count (n_bands × 2^n_planes), independent
+    of query count — to push the pruning disjunction into the scan.
+    Default shuffle join on (band, bucket) for the all-vs-index case;
+    ``broadcast_queries=True`` for serving-sized batches. Same output
+    contract and results as `ann_probe`."""
+    import json
+
+    from ontology_matcher_spark.functions.fs import fs_read_text
+    from ontology_matcher_spark.functions.materialize import materialize
+
+    meta = json.loads(fs_read_text(spark, f"{path}/_ANN_META.json"))
+    bands = meta["bands"]
+    dim = meta["dim"]
+    qb = _with_band_buckets(
+        queries.select(F.col(query_id_col), F.col(query_vec_col).alias("__qv")),
+        "__qv", bands, [query_id_col, "__qv"],
+    )
+    qb = materialize(qb, "ann-probe-batch")
+    probe_rows = qb.select("band", "bucket").distinct().collect()
+    by_band: dict[int, set[int]] = {}
+    for r in probe_rows:
+        by_band.setdefault(int(r["band"]), set()).add(int(r["bucket"]))
+    pred = None
+    for band, buckets in sorted(by_band.items()):
+        clause = (F.col("band") == band) & F.col("bucket").isin(*sorted(buckets))
+        pred = clause if pred is None else (pred | clause)
+    if pred is None:
+        return _empty_topk(spark, queries, query_id_col, path)
+    vb = spark.read.parquet(path).where(pred)
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    cand = vb.join(qb, ["band", "bucket"]).dropDuplicates([query_id_col, "id"])
     scored = cand.select(
         query_id_col,
         "id",

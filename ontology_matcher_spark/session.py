@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # free diagnostics: a crashed Python worker dumps a faulthandler
+        # traceback instead of the opaque "exited unexpectedly" (round-4
+        # driver bench died with exactly that spew and no root cause)
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         # shuffle/checkpoint scratch on tmpfs: the sandbox's /tmp disk
         # writes at ~128 MB/s, which caps multi-core scaling — 32
         # concurrent shuffle writers saturate it (a real cluster pairs

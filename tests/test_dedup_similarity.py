@@ -471,3 +471,207 @@ def test_ivf_index_probe_recall_and_pruning(spark, tmp_path):
     all3 = {(r["query_id"], r["id"])
             for r in ivf_probe(spark, path, q, k=3, nprobe=8).collect()}
     assert all3 == exact3
+
+
+def test_ivf_trainer_assignment_bounded_memory():
+    """`_assign_chunked` (a) matches the naive 3-D-tensor assignment
+    exactly and (b) peaks well under the naive form's footprint at
+    realistic dims — the round-4 advisor flagged the naive form at
+    ~79 GB for dim=768/k=256/n=50k; the chunked matmul form must stay
+    O(chunk × k) regardless of dim."""
+    import tracemalloc
+
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import _assign_chunked
+
+    rng = np.random.default_rng(7)
+    # correctness vs naive on a small instance
+    X = rng.normal(size=(500, 24))
+    C = rng.normal(size=(16, 24))
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    assign, min_d2 = _assign_chunked(X, C)
+    assert (assign == d2.argmin(1)).all()
+    assert np.allclose(min_d2, d2.min(1))
+
+    # memory bound at realistic scale: naive would be n*k*dim*8 = 31 GB
+    Xb = rng.normal(size=(20_000, 768))
+    Cb = rng.normal(size=(256, 768))
+    tracemalloc.start()
+    _assign_chunked(Xb, Cb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 300 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_ivf_trainer_high_dim_end_to_end(spark):
+    """train_ivf_centroids at dim=768 (the advisor's OOM scenario)
+    completes and returns well-formed centroids."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=768)]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_centroids=16, iters=3)
+    assert len(cents) == 16 and all(len(c) == 768 for c in cents)
+
+
+def _clustered_corpus(spark, rng, n=240, dim=12, n_centers=8):
+    import numpy as np
+
+    centers = rng.normal(scale=10.0, size=(n_centers, dim))
+    rows = [
+        (i, [float(x) for x in centers[i % n_centers] + rng.normal(scale=0.5, size=dim)])
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_probe_batch_matches_serving(spark, tmp_path):
+    """`ivf_probe_batch` (no query collect) returns EXACTLY the
+    serving `ivf_probe`'s top-k (shared stable tie rule), and handles
+    a 10k-row query table — the offline all-vs-index shape the
+    serving probe's small-query contract excludes."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        ivf_probe,
+        ivf_probe_batch,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(41)
+    rows, df = _clustered_corpus(spark, rng)
+    centroids = train_ivf_centroids(df, n_centroids=8, iters=8)
+    path = str(tmp_path / "ivf_batch")
+    write_ivf_index(df, centroids, path)
+
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in np.asarray(rows[i][1]) + rng.normal(scale=0.05, size=12)])
+            for i in range(6)
+        ],
+        ["query_id", "query_vec"],
+    )
+    serve = {(r["query_id"], r["rank"], r["id"], round(r["score"], 6))
+             for r in ivf_probe(spark, path, q, k=3, nprobe=2).collect()}
+    batch = {(r["query_id"], r["rank"], r["id"], round(r["score"], 6))
+             for r in ivf_probe_batch(spark, path, q, k=3, nprobe=2).collect()}
+    assert batch == serve and batch
+
+    # 10k-row query table: runs distributed (only the distinct probed
+    # cluster ids — ≤ n_centroids ints — ever reach the driver)
+    big_q = spark.range(10_000).selectExpr(
+        "id as query_id",
+        "transform(sequence(1, 12), j -> cast(pmod(id * j, 17) as double) - 8.0) as query_vec",
+    )
+    out = ivf_probe_batch(spark, path, big_q, k=2, nprobe=1)
+    assert out.where("rank > 2").count() == 0
+    assert out.select("query_id").distinct().count() == 10_000
+
+
+def test_ann_probe_batch_matches_serving(spark, tmp_path):
+    """`ann_probe_batch` (queries hashed distributed, never collected)
+    matches the serving `ann_probe` exactly."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        ann_probe,
+        ann_probe_batch,
+        make_band_planes,
+        write_ann_index,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(120, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in base[i] + rng.normal(scale=0.02, size=16)])
+            for i in range(4)
+        ],
+        ["query_id", "query_vec"],
+    )
+    bands = make_band_planes(16, n_planes=5, n_bands=3, seed=17)
+    path = str(tmp_path / "ann_batch")
+    write_ann_index(df, bands, path)
+    serve = {(r["query_id"], r["rank"], r["id"], round(r["score"], 6))
+             for r in ann_probe(spark, path, q, k=5).collect()}
+    batch = {(r["query_id"], r["rank"], r["id"], round(r["score"], 6))
+             for r in ann_probe_batch(spark, path, q, k=5).collect()}
+    assert batch == serve and batch
+
+
+def test_write_ivf_index_excludes_malformed(spark, tmp_path):
+    """Malformed/NULL vectors never enter the IVF index (they'd land
+    in a cluster=-1 partition no probe reads — round-4 advisor), and
+    probes over the cleaned index still work."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        ivf_probe,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(13)
+    rows, df = _clustered_corpus(spark, rng, n=80, dim=8, n_centers=4)
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],  # NULL and wrong-width
+        df.schema,
+    )
+    centroids = train_ivf_centroids(df, n_centroids=4, iters=4)
+    path = str(tmp_path / "ivf_bad")
+    write_ivf_index(df.unionByName(bad), centroids, path)
+    idx = spark.read.parquet(path)
+    assert idx.where("cluster < 0").count() == 0
+    assert idx.where("id in (900, 901)").count() == 0
+    assert idx.count() == 80
+    q = spark.createDataFrame(
+        [(0, rows[0][1])], ["query_id", "query_vec"]
+    )
+    assert ivf_probe(spark, path, q, k=1, nprobe=4).count() == 1
+
+
+def test_probe_empty_query_schema_matches_nonempty(spark, tmp_path):
+    """The no-queries fallback derives its query-id type from the
+    queries frame (round-4 advisor: hardcoded string broke unions
+    with the long-id normal path)."""
+    import numpy as np
+
+    from ontology_matcher_spark.operators.similarity import (
+        ann_probe,
+        ivf_probe,
+        make_band_planes,
+        train_ivf_centroids,
+        write_ann_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    rows, df = _clustered_corpus(spark, rng, n=40, dim=8, n_centers=4)
+    bands = make_band_planes(8, n_planes=4, n_bands=2, seed=9)
+    apath = str(tmp_path / "ann_empty")
+    write_ann_index(df, bands, apath)
+    ipath = str(tmp_path / "ivf_empty")
+    write_ivf_index(df, train_ivf_centroids(df, n_centroids=4, iters=3), ipath)
+
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    full_q = spark.createDataFrame(
+        [(0, rows[0][1])], ["query_id", "query_vec"]
+    )
+    for probe, path in ((ann_probe, apath), (ivf_probe, ipath)):
+        e = probe(spark, path, empty_q, k=1)
+        f = probe(spark, path, full_q, k=1)
+        assert e.count() == 0
+        assert [x.dataType for x in e.schema.fields] == [
+            x.dataType for x in f.schema.fields
+        ]
+        # unions must not throw
+        f.unionByName(e).count()
