@@ -112,9 +112,10 @@ def _install_dump_handlers() -> None:
 def ensure_bench_corpus() -> str:
     from ontology_matcher_spark import fixtures as fx
 
-    # v3: Compound+HMDB / Metabolite+CHEMBL namespace sets (reference
-    # parity) change the generated cluster membership
-    tag = f"v3_c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
+    # v4: round-5 fuzzy-probe terms + docs (ADDITIVE — the mention
+    # table and thus kg_e2e/n_triples are byte-identical to v3; only
+    # detection-stage variants see the new docs)
+    tag = f"v4_c{BENCH_CLUSTERS}_m{BENCH_MENTIONS}_d{BENCH_DOCS}"
     out = os.path.join(BENCH_TMP, tag)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):

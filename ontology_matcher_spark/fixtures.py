@@ -288,6 +288,78 @@ def _emit_documents(bundle: FixtureBundle, n_docs: int, seed: int) -> None:
         bundle.documents.append({"doc_id": f"doc-{d:08d}", "spans": spans})
 
 
+def _emit_fuzzy_probes(bundle: FixtureBundle, n_docs: int, seed: int) -> None:
+    """ADDITIVE fuzzy-tier probes (round 5): the base corpus has only
+    two-token cluster names, so the detector's fuzzy tier (SymSpell
+    d=1 over SINGLE-token names ≥ 5 chars) could never fire — its
+    DuckDB gate matched vacuously at 0 rows. This appends (a) a small
+    set of single-token-name terms in a disjoint curie range and (b)
+    text-only probe docs whose tokens are seeded edit-distance-1 typos
+    (or exact occurrences) of those names. Everything uses a SEPARATE
+    rng stream and only APPENDS to terms/documents, so every
+    previously generated table row stays byte-identical — mention
+    linking, CC, and the kg_e2e bench headline are untouched."""
+    rng = random.Random(f"{seed}:fuzzy-probes")
+    alphabet = "abcdefghiklmnopqrstuvwxyz"
+    n_terms = max(6, n_docs // 250)
+    names: list[str] = []
+    seen: set[str] = set()
+    local = 80_000_000  # disjoint from cluster (<14M) id ranges
+    while len(names) < n_terms:
+        name = _word(rng, 4)  # 8 chars, single token
+        if name in seen:
+            continue
+        seen.add(name)
+        names.append(name)
+        local += rng.randint(1, 9)
+        bundle.terms.append(
+            {
+                "ns": "MONDO",
+                "local_id": str(local),
+                "curie": f"MONDO:{local}",
+                "label": "Disease",
+                "name": name,
+                "normalized_name": _normalize(name),
+                "synonyms": [],
+                "description": f"fuzzy probe entity {name}",
+                "taxid": "",
+                "symbol": "",
+                "xrefs": [],
+                "pmids": [],
+                "parent_curie": "",
+            }
+        )
+
+    def typo(tok: str) -> str:
+        i = rng.randrange(len(tok))
+        op = rng.randrange(3)
+        if op == 0:  # delete
+            return tok[:i] + tok[i + 1 :]
+        if op == 1:  # substitute
+            return tok[:i] + rng.choice(alphabet) + tok[i + 1 :]
+        return tok[:i] + rng.choice(alphabet) + tok[i:]  # insert
+
+    n_probe_docs = max(16, n_docs // 50)
+    for d in range(n_probe_docs):
+        spans = []
+        offset = 0
+        for _ in range(rng.randint(1, 3)):
+            tok = rng.choice(names)
+            m = typo(tok) if rng.random() < 0.7 else tok
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": rng.choice(_TEMPLATES).format(m=m),
+                    "media_ref": "",
+                    "offset": offset,
+                }
+            )
+            offset += rng.randint(20, 200)
+        bundle.documents.append(
+            {"doc_id": f"doc-fz-{d:06d}", "spans": spans}
+        )
+
+
 def generate(
     seed: int = 42,
     clusters_per_type: int = 120,
@@ -302,6 +374,7 @@ def generate(
         _emit_terms_edges(bundle, otype, seed)
         _emit_mentions(bundle, otype, mentions_per_type, seed)
     _emit_documents(bundle, n_docs, seed)
+    _emit_fuzzy_probes(bundle, n_docs, seed)
     return bundle
 
 

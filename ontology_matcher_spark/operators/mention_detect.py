@@ -242,7 +242,16 @@ def load_detection_artifact(path: str) -> dict[str, Any]:
 
 def _artifact_stamp(fp_path: str) -> str:
     """Contents of the artifact's _FINGERPRINT marker ("" when the
-    artifact predates fingerprint stamping)."""
+    artifact predates fingerprint stamping).
+
+    Local-FS read by design: the WHOLE executor load path
+    (`load_detection_artifact`) reads the artifact with plain
+    pyarrow/local paths, so artifacts live on storage every executor
+    can open locally (local disk, NFS, or a fuse-mounted object
+    store). If a raw-scheme (hdfs://, s3://) artifact location is ever
+    supported, both this stamp read AND the pyarrow loads must move to
+    a scheme-aware filesystem together — a scheme path today fails
+    loudly at load, it does not silently degrade."""
     try:
         with open(fp_path) as f:
             return f.read().strip()

@@ -28,6 +28,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -84,6 +85,75 @@ def sniff_media_header(
     return None, None, None
 
 
+def parse_wav_header(data: bytes) -> dict | None:
+    """RIFF/WAVE container parse — pure stdlib struct, no codec
+    libraries (round-4 verdict item 7: shrink the audio NULL
+    envelope): walks the word-aligned chunk list for ``fmt `` (PCM
+    layout: channels / sample rate / bits per sample / block align)
+    and ``data`` (payload size), deriving frame count and duration.
+    None when the bytes are not a parseable WAV."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_off = data_size = None
+    while pos + 8 <= len(data):
+        cid, sz = struct.unpack("<4sI", data[pos : pos + 8])
+        if cid == b"fmt " and sz >= 16 and pos + 8 + 16 <= len(data):
+            _afmt, ch, rate, _br, block, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            fmt = (ch, rate, bits, block)
+        elif cid == b"data":
+            data_off, data_size = pos + 8, sz
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    ch, rate, bits, block = fmt
+    if not ch or not rate or not block:
+        return None
+    n_frames = min(data_size, max(0, len(data) - data_off)) // block
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "block_align": block,
+        "data_offset": data_off,
+        "n_frames": n_frames,
+        "duration_sec": n_frames / rate,
+    }
+
+
+def wav_features(data: bytes, bins: int = 8) -> list[float] | None:
+    """REAL audio features from an uncompressed PCM WAV — container
+    facts (channels, sample rate in kHz, bits, duration) followed by
+    a ``bins``-bucket L1-normalized |amplitude| histogram of the
+    16-bit samples (numpy-vectorized; the audio twin of
+    `histogram_features`). Non-16-bit payloads carry the 4 container
+    facts with zero histogram mass. None when not a WAV."""
+    hdr = parse_wav_header(data)
+    if hdr is None:
+        return None
+    head = [
+        float(hdr["channels"]),
+        round(hdr["sample_rate"] / 1000.0, 6),
+        float(hdr["bits_per_sample"]),
+        round(hdr["duration_sec"], 6),
+    ]
+    hist = [0.0] * bins
+    n_samp = hdr["n_frames"] * hdr["channels"]
+    if hdr["bits_per_sample"] == 16 and n_samp:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=n_samp, offset=hdr["data_offset"]
+        )
+        mag = np.abs(samples.astype(np.int32))
+        counts = np.bincount(
+            np.minimum(mag * bins // 32768, bins - 1), minlength=bins
+        )[:bins]
+        hist = [round(int(v) / n_samp, 6) for v in counts.tolist()]
+    return head + hist
+
+
 def _read_media_bytes(media_ref: str) -> bytes | None:
     """Resolve a media_ref to raw bytes. ``file://`` refs read the
     local/shared filesystem (the sandbox analog of an object-store
@@ -109,47 +179,69 @@ def _fake_decode(media_ref: str, kind: str, dim: int = 8) -> tuple[int, int, lis
 
 
 # ---------------------------------------------- stdlib pixel decoders
-def _unfilter_png(raw: bytes, w: int, h: int, channels: int) -> list[bytearray]:
+def _unfilter_png(raw: bytes, w: int, h: int, channels: int) -> "np.ndarray":
     """Inverse of the five PNG scanline filters (RFC 2083 §6) for
-    8-bit samples → one bytearray of w*channels samples per row."""
+    8-bit samples → (h, w*channels) uint8 array.
+
+    Vectorized per row (round-4 verdict item 6): None is a copy, Up is
+    one wrapping uint8 add, Sub is a cumulative sum along the pixel
+    axis (out[x] = raw[x] + out[x-1] per channel — exactly cumsum mod
+    256). Average and Paeth keep the per-byte loop: their recurrences
+    read the CURRENT row's just-computed left neighbour through a
+    floor-div / min-predictor, which has no closed vectorized form —
+    and a numpy per-pixel loop measures SLOWER than the plain byte
+    loop at realistic widths (small-array dispatch overhead)."""
     stride = w * channels
     bpp = channels
-    rows: list[bytearray] = []
-    prev = bytearray(stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rawb = np.frombuffer(raw, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
-    for _ in range(h):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+    for y in range(h):
+        ftype = int(rawb[pos])
+        line = rawb[pos + 1 : pos + 1 + stride]
         pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        if ftype == 0:
+            res = line.copy()
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            res = (
+                (np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) % 256)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            res = line + prev  # uint8 add wraps mod 256
         elif ftype == 3:  # Average
+            ln = bytearray(line.tobytes())
+            pv = prev.tolist()
             for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                a = ln[i - bpp] if i >= bpp else 0
+                ln[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            res = np.frombuffer(bytes(ln), dtype=np.uint8)
         elif ftype == 4:  # Paeth
+            ln = bytearray(line.tobytes())
+            pv = prev.tolist()
             for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+                a = ln[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
+                ln[i] = (ln[i] + pred) & 0xFF
+            res = np.frombuffer(bytes(ln), dtype=np.uint8)
+        else:
             raise ValueError(f"unknown PNG filter {ftype}")
-        rows.append(line)
-        prev = line
-    return rows
+        out[y] = res
+        prev = out[y]
+    return out
 
 
-def _decode_png(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+def _decode_png(data: bytes) -> "np.ndarray | None":
     """8-bit non-interlaced PNG (gray / RGB / palette / +alpha) →
-    rows of (r, g, b). None for unsupported variants."""
+    (h, w, 3) uint8 RGB array. None for unsupported variants. The
+    sample→RGB conversion is pure array indexing (no per-pixel
+    Python)."""
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", data[16:29]
     )
@@ -177,33 +269,28 @@ def _decode_png(data: bytes) -> list[list[tuple[int, int, int]]] | None:
         return None
     if len(raw) < h * (1 + w * channels):
         return None
-    lines = _unfilter_png(raw, w, h, channels)
-    out: list[list[tuple[int, int, int]]] = []
-    for line in lines:
-        row: list[tuple[int, int, int]] = []
-        for x in range(w):
-            if color == 2:
-                row.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
-            elif color == 6:
-                row.append((line[4 * x], line[4 * x + 1], line[4 * x + 2]))
-            elif color == 0:
-                g = line[x]
-                row.append((g, g, g))
-            elif color == 4:
-                g = line[2 * x]
-                row.append((g, g, g))
-            else:  # palette
-                i3 = 3 * line[x]
-                if i3 + 3 > len(plte):
-                    return None
-                row.append((plte[i3], plte[i3 + 1], plte[i3 + 2]))
-        out.append(row)
-    return out
+    arr = _unfilter_png(raw, w, h, channels)
+    if color == 2:
+        return arr.reshape(h, w, 3).copy()
+    if color == 6:
+        return arr.reshape(h, w, 4)[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+    if color == 4:
+        return np.repeat(arr.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+    # palette
+    idx = arr.reshape(h, w)
+    if idx.size and 3 * int(idx.max()) + 3 > len(plte):
+        return None
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    return pal[idx.astype(np.intp)]
 
 
-def _decode_bmp(data: bytes) -> list[list[tuple[int, int, int]]] | None:
-    """Uncompressed 24/32bpp BITMAPINFOHEADER BMP → rows of (r, g, b),
-    top-down regardless of stored row order."""
+def _decode_bmp(data: bytes) -> "np.ndarray | None":
+    """Uncompressed 24/32bpp BITMAPINFOHEADER BMP → (h, w, 3) uint8
+    RGB array, top-down regardless of stored row order. One reshape +
+    channel swizzle — no per-pixel Python."""
     (off,) = struct.unpack("<I", data[10:14])
     dib, w, h, _planes, bpp, compression = struct.unpack(
         "<IiiHHI", data[14:34]
@@ -216,16 +303,12 @@ def _decode_bmp(data: bytes) -> list[list[tuple[int, int, int]]] | None:
     stride = (w * nbytes + 3) & ~3
     if off + stride * h > len(data):
         return None
-    rows: list[list[tuple[int, int, int]]] = []
-    for y in range(h):
-        src_y = (h - 1 - y) if bottom_up else y
-        base = off + src_y * stride
-        row = []
-        for x in range(w):
-            p = base + x * nbytes
-            row.append((data[p + 2], data[p + 1], data[p]))  # BGR(A) order
-        rows.append(row)
-    return rows
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) → RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
 
 
 def _lzw_decode(stream: bytes, min_code_size: int, limit: int) -> list[int]:
@@ -269,9 +352,11 @@ def _lzw_decode(stream: bytes, min_code_size: int, limit: int) -> list[int]:
     return out
 
 
-def _decode_gif(data: bytes) -> list[list[tuple[int, int, int]]] | None:
-    """First frame of a non-interlaced GIF87a/89a → rows of (r, g, b).
-    None for interlaced/truncated images."""
+def _decode_gif(data: bytes) -> "np.ndarray | None":
+    """First frame of a non-interlaced GIF87a/89a → (h, w, 3) uint8
+    RGB array (LZW stays a Python loop — sequential code table; the
+    palette lookup is one vectorized gather). None for
+    interlaced/truncated images."""
     w, h = struct.unpack("<HH", data[6:10])
     flags = data[10]
     pos = 13
@@ -309,21 +394,20 @@ def _decode_gif(data: bytes) -> list[list[tuple[int, int, int]]] | None:
     idx = _lzw_decode(bytes(stream), min_code_size, iw * ih)
     if len(idx) < iw * ih:
         return None
-    rows = []
-    for y in range(ih):
-        row = []
-        for x in range(iw):
-            i3 = 3 * idx[y * iw + x]
-            if i3 + 3 > len(palette):
-                return None
-            row.append((palette[i3], palette[i3 + 1], palette[i3 + 2]))
-        rows.append(row)
-    return rows
+    im = np.asarray(idx[: iw * ih], dtype=np.intp).reshape(ih, iw)
+    if im.size and 3 * int(im.max()) + 3 > len(palette):
+        return None
+    pal = np.frombuffer(palette, dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    return pal[im]
 
 
-def decode_image(data: bytes) -> list[list[tuple[int, int, int]]] | None:
-    """Container bytes → pixel rows of (r, g, b), or None when the
-    format/variant is outside the supported envelope. Pure stdlib."""
+def decode_image_array(data: bytes) -> "np.ndarray | None":
+    """Container bytes → (h, w, 3) uint8 RGB array, or None when the
+    format/variant is outside the supported envelope. Pure stdlib +
+    numpy — the production path (`extract_media_embeddings`) stays
+    array-native end-to-end; megapixel images never round-trip
+    through per-pixel Python objects."""
     try:
         fmt, _, _ = sniff_media_header(data)
         if fmt == "png":
@@ -337,23 +421,34 @@ def decode_image(data: bytes) -> list[list[tuple[int, int, int]]] | None:
     return None
 
 
-def histogram_features(
-    pixels: list[list[tuple[int, int, int]]], bins: int = 8
-) -> list[float]:
+def decode_image(data: bytes) -> list[list[tuple[int, int, int]]] | None:
+    """`decode_image_array` as rows of (r, g, b) tuples — the pinned
+    test / ad-hoc inspection form. Production code should use the
+    array form directly."""
+    arr = decode_image_array(data)
+    if arr is None:
+        return None
+    return [[tuple(int(v) for v in px) for px in row] for row in arr]
+
+
+def histogram_features(pixels, bins: int = 8) -> list[float]:
     """Per-channel pixel-value histogram embedding: ``bins`` equal
     [0,256) buckets per RGB channel, L1-normalized by pixel count →
-    3*bins floats. Deterministic, library-free, and exactly the kind
-    of cheap content signature embedding-near-dup consumes."""
-    counts = [[0] * bins for _ in range(3)]
-    n = 0
-    for row in pixels:
-        for px in row:
-            n += 1
-            for c in range(3):
-                counts[c][px[c] * bins // 256] += 1
-    if n == 0:
+    3*bins floats. Accepts an (h, w, 3) uint8 array (production) or
+    rows of (r, g, b) tuples (tests); one `np.bincount` per channel —
+    no per-pixel Python (round-4 verdict item 6)."""
+    arr = pixels if isinstance(pixels, np.ndarray) else np.asarray(
+        pixels, dtype=np.int64
+    )
+    if arr.size == 0:
         return [0.0] * (3 * bins)
-    return [round(v / n, 6) for ch in counts for v in ch]
+    n = arr.shape[0] * arr.shape[1]
+    flat = arr.reshape(-1, 3).astype(np.int64)
+    out: list[float] = []
+    for c in range(3):
+        counts = np.bincount(flat[:, c] * bins // 256, minlength=bins)[:bins]
+        out.extend(round(int(v) / n, 6) for v in counts.tolist())
+    return out
 
 
 def extract_media_embeddings(
@@ -384,9 +479,13 @@ def extract_media_embeddings(
                     feats = None
                     if data:
                         _, w, h = sniff_media_header(data)
-                        pixels = decode_image(data)
-                        if pixels:
+                        pixels = decode_image_array(data)
+                        if pixels is not None and pixels.size:
                             feats = histogram_features(pixels, bins)
+                        elif pixels is None:
+                            # audio path: PCM WAV container + amplitude
+                            # histogram (stdlib+numpy, no codec libs)
+                            feats = wav_features(data, bins)
                     rows.append(
                         (doc_id, si, span["media_ref"], span["kind"], w, h, feats)
                     )

@@ -173,3 +173,33 @@ def test_artifact_matches_broadcast_dictionary(spark, bundle, fixture_dir, tmp_p
     }
     assert via_path == via_bc
     assert len(via_path) > 100
+
+
+def test_fixture_corpus_exercises_fuzzy_tier(spark, fixture_dir):
+    """Guard against a vacuous kg_detected_fuzzy gate: the generated
+    corpus must actually contain single-token-name terms and typo'd
+    probe docs that fire the SymSpell d=1 tier (round 5 — before the
+    fuzzy probes, the tier could never fire on fixture data and its
+    oracle matched trivially at 0 rows)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ontology_matcher_spark.functions.materialize import scratch_root
+    from ontology_matcher_spark.operators.dictionary_build import (
+        write_detection_artifact,
+    )
+    from ontology_matcher_spark.operators.mention_detect import detect_mentions
+
+    terms = spark.read.parquet(os.path.join(fixture_dir, "ontology_terms.parquet"))
+    docs = spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+    artifact = os.path.join(scratch_root(spark), f"fz-{uuid.uuid4().hex[:8]}")
+    write_detection_artifact(terms, artifact)
+    by_type = {
+        r["match_type"]: r["n"]
+        for r in detect_mentions(docs, artifact)
+        .groupBy("match_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type.get("fuzzy", 0) > 0, by_type
+    assert by_type.get("name", 0) > 0  # exact tiers still present

@@ -234,3 +234,116 @@ def test_media_embeddings_end_to_end(spark):
     # undecodable media: metadata row kept, NULL features
     assert rows[3]["features"] is None and rows[3]["width"] is None
     assert (rows[0]["width"], rows[0]["height"]) == (3, 2)
+
+
+def test_wav_header_and_features_pinned():
+    """tiny.wav (committed; mono 8 kHz 16-bit PCM, 64 ramp+sine
+    frames) — container facts and amplitude histogram pinned from an
+    independent hand-computation of the generator formula."""
+    from ontology_matcher_spark.operators.multimodal import (
+        parse_wav_header,
+        wav_features,
+    )
+
+    with open(os.path.join(MEDIA, "tiny.wav"), "rb") as f:
+        data = f.read()
+    hdr = parse_wav_header(data)
+    assert hdr == {
+        "channels": 1,
+        "sample_rate": 8000,
+        "bits_per_sample": 16,
+        "block_align": 2,
+        "data_offset": 44,
+        "n_frames": 64,
+        "duration_sec": 0.008,
+    }
+    feats = wav_features(data)
+    assert feats[:4] == [1.0, 8.0, 16.0, 0.008]
+    # histogram mass sums to 1 over the 8 amplitude bins
+    assert abs(sum(feats[4:]) - 1.0) < 1e-6
+    assert feats[4:8] == [0.21875, 0.296875, 0.359375, 0.125]
+    assert feats[8:] == [0.0, 0.0, 0.0, 0.0]
+    # non-WAV bytes → None (images keep their own path)
+    assert wav_features(b"RIFFxxxxAVI LIST") is None
+    assert wav_features(b"\x89PNG\r\n\x1a\n" + b"0" * 40) is None
+
+
+def test_wav_through_media_embeddings(spark):
+    """The audio path through the production mapInPandas surface: a
+    file://-backed WAV span yields real features (no longer the NULL
+    envelope); undecodable audio refs still yield NULL features."""
+    from ontology_matcher_spark.operators.multimodal import (
+        extract_media_embeddings,
+    )
+
+    spans = [
+        {"kind": "audio", "text": "", "media_ref": f"file://{MEDIA}/tiny.wav", "offset": 0},
+        {"kind": "audio", "text": "", "media_ref": "media://audio/0/9", "offset": 10},
+    ]
+    docs = spark.createDataFrame([("d0", spans)], DOCUMENTS)
+    rows = {r["span_idx"]: r for r in extract_media_embeddings(docs).collect()}
+    assert rows[0]["features"] is not None
+    assert abs(rows[0]["features"][3] - 0.008) < 1e-6  # duration
+    assert rows[0]["width"] is None  # no image dims for audio
+    assert rows[1]["features"] is None  # unresolvable ref stays NULL
+
+
+def test_decode_throughput_quarter_megapixel():
+    """Round-4 verdict item 6: the vectorized decode path must handle
+    a ~0.25-megapixel PNG in interactive time (the old per-pixel
+    Python loops ran ~10⁶ interpreter ops per stage — multiple
+    seconds each for unfilter + RGB-ify + histogram). Bound is
+    generous for a loaded sandbox; the old path could not meet it."""
+    import struct as st
+    import time
+    import zlib as zl
+
+    import numpy as np
+
+    from ontology_matcher_spark.operators.multimodal import (
+        decode_image_array,
+        histogram_features,
+    )
+
+    w = h = 512
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # encode with the vectorizable filters (0/1/2 cycling): Sub/Up
+    # encoding = forward difference of the target scanlines
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        ftype = y % 3
+        row = px[y].astype(np.int16)
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:  # Sub: raw[x] = row[x] - row[x-1]
+            enc = row - np.vstack([np.zeros((1, 3), dtype=np.int16), row[:-1]])
+        else:  # Up: raw[x] = row[x] - prev[x]
+            enc = row - prev
+        raw.append(ftype)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(typ, body):
+        return (
+            st.pack(">I", len(body)) + typ + body
+            + st.pack(">I", zl.crc32(typ + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zl.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    arr = decode_image_array(png)
+    feats = histogram_features(arr)
+    wall = time.time() - t0
+    assert arr is not None and arr.shape == (h, w, 3)
+    assert (arr == px).all()  # decode is exact
+    assert abs(sum(feats) - 3.0) < 1e-3  # 3 channels, each L1=1
+    print(f"\n0.25MP decode+histogram: {wall:.3f}s")
+    assert wall < 3.0, f"vectorized decode too slow: {wall:.2f}s"
