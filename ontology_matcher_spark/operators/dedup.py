@@ -72,6 +72,36 @@ def hashed_shingles(sh: Column) -> Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
 
 
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """31-bit base hash of a shingle string.
+
+    ``xxhash64`` (default) is the production hash — native, codegen'd,
+    fastest. ``md5`` derives the value as
+    ``conv(substr(md5(s),1,15),16,10)`` (60 bits, then mod Mersenne) —
+    bit-identical to DuckDB's ``CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT)``, which puts the WHOLE minhash/banding algebra under the
+    SQL oracle gate (xxhash64 has no DuckDB equivalent)."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(col)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.pmod(h, F.lit(_MERSENNE))
+
+
+def _band_hash(band: int, elems: list[Column], hash_fn: str) -> Column:
+    """Bucket hash of one band's signature rows (same two strategies
+    as `_base_hash`; md5 hashes the comma-joined decimal rendering,
+    which DuckDB reproduces with concat_ws)."""
+    if hash_fn == "md5":
+        joined = F.concat_ws(
+            ",", F.lit(band).cast("string"), *[e.cast("string") for e in elems]
+        )
+        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(F.lit(band), *elems)
+
+
 def minhash_signature_from_hashes(hsh: Column, num_hashes: int = 32) -> Column:
     """num_hashes-wide MinHash from pre-hashed shingles: min over
     (a_i·h + b_i) mod p. Array-lambda form — prefer
@@ -93,6 +123,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k_shingle: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) via explode + 32 `min`
     aggregates — whole-stage-codegen'd, map-side partial aggregation,
@@ -104,7 +135,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k_shingle)).alias("s"),
     )
-    h = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    h = sh.select("id", _base_hash(F.col("s"), hash_fn).alias("h"))
     aggs = [
         F.min(F.pmod(F.col("h") * a + b, F.lit(_MERSENNE))).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -124,6 +155,7 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     drop_stats: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -142,7 +174,7 @@ def minhash_lsh_pairs(
     mirrored in guards.LAST_DROP_STATS (process-local, last-call-wins
     convenience only)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k_shingle)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k_shingle, hash_fn)
 
     # collapse signature-identical docs FIRST (exact duplicates above
     # all): one row per distinct signature enters the banded join, so a
@@ -155,8 +187,8 @@ def minhash_lsh_pairs(
         F.sort_array(F.collect_list("id")).alias("members"),
     )
 
-    # band hash = xxhash64 over the band's signature rows (multi-arg
-    # xxhash64 over element_at — stays in codegen, no lambdas)
+    # band hash over the band's signature rows (multi-arg hash over
+    # element_at — stays in codegen, no lambdas)
     banded = grp.select(
         "id",
         "sig",
@@ -166,12 +198,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
+                        _band_hash(
+                            b,
+                            [
                                 F.element_at("sig", b * rows_per_band + j + 1)
                                 for j in range(rows_per_band)
                             ],
+                            hash_fn,
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -282,17 +315,32 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_MAX_BITS,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sim: bigint) via explode + ``bits`` codegen'd SUM aggregates
     (map-side partial agg) — the 100 TB shape, mirroring
     `minhash_signatures`: the shuffle carries ``bits`` ints per doc and
-    the sums combine locally; no interpreted higher-order functions."""
+    the sums combine locally; no interpreted higher-order functions.
+
+    ``hash_fn="md5"`` (max 60 bits — the md5-prefix hash is 60 bits
+    wide) swaps the token hash for the DuckDB-reproducible
+    conv(substr(md5,1,15),16,10) form so the signature+banding algebra
+    can sit under the SQL oracle gate; xxhash64 stays the production
+    default."""
     if not 1 <= bits <= SIMHASH_MAX_BITS:
         raise ValueError(f"bits must be in [1, {SIMHASH_MAX_BITS}], got {bits}")
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError(f"md5 hash provides 60 bits, got bits={bits}")
+        th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        th = F.xxhash64("t")
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_tokens(F.col(text_col))).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", th.alias("h"))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -314,6 +362,7 @@ def simhash_neardup_pairs(
     bits: int = SIMHASH_MAX_BITS,
     n_blocks: int = 4,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -330,7 +379,7 @@ def simhash_neardup_pairs(
             f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
             "for pigeonhole recall"
         )
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    sig = simhash_signatures(df, text_col, id_col, bits, hash_fn)
     width = bits // n_blocks
     blocks = []
     for j in range(n_blocks):

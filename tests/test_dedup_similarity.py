@@ -675,3 +675,108 @@ def test_probe_empty_query_schema_matches_nonempty(spark, tmp_path):
         ]
         # unions must not throw
         f.unionByName(e).count()
+
+
+# --------------------------------------------------- md5 hash variants
+def _py_md5_minhash_pairs(rows, num=32, bands=8):
+    """Pure-Python twin of minhash_lsh_pairs(hash_fn='md5',
+    max_bucket=None) — md5 is reproducible outside the JVM (unlike
+    xxhash64), so the md5 variant gets a full independent oracle."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from ontology_matcher_spark.operators.dedup import _MERSENNE, _affine_params
+
+    params = _affine_params(num)
+    rpb = num // bands
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+
+    def sh3(t):
+        tk = toks(t)
+        if len(tk) >= 3:
+            out, seen = [], set()
+            for i in range(len(tk) - 2):
+                g = " ".join(tk[i : i + 3])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+        return [" ".join(tk)] if tk else []
+
+    def md5h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sigs = {}
+    for d, t in rows:
+        hs = [md5h(s) % _MERSENNE for s in sh3(t)]
+        if hs:
+            sigs[d] = tuple(
+                min((h * a + b) % _MERSENNE for h in hs) for a, b in params
+            )
+    groups = defaultdict(list)
+    for d, s in sigs.items():
+        groups[s].append(d)
+    reps = {min(m): (s, sorted(m)) for s, m in groups.items()}
+    buckets = defaultdict(list)
+    for rid, (s, _) in reps.items():
+        for b in range(bands):
+            key = ",".join(str(x) for x in (b,) + s[b * rpb : (b + 1) * rpb])
+            buckets[(b, md5h(key))].append(rid)
+    out = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ra, rb = ids[i], ids[j]
+                sa, ma = reps[ra]
+                sb, mb = reps[rb]
+                est = sum(1 for x, y in zip(sa, sb) if x == y) / num
+                for x in ma:
+                    for y in mb:
+                        out.add((min(x, y), max(x, y), est))
+    for s, mem in groups.items():
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                out.add((mem[i], mem[j], 1.0))
+    return out
+
+
+def test_minhash_md5_matches_python_oracle(spark, corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expected = _py_md5_minhash_pairs(rows)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in minhash_lsh_pairs(corpus, max_bucket=None, hash_fn="md5").collect()
+    }
+    assert got == expected
+    assert expected, "corpus must produce candidate pairs"
+
+
+def test_simhash_md5_matches_python_oracle(spark, corpus):
+    import hashlib
+    import re
+
+    from ontology_matcher_spark.operators.dedup import simhash_signatures
+
+    bits = 60
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expected = {}
+    for d, t in rows:
+        tk = [x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x]
+        if not tk:
+            continue
+        c = [0] * bits
+        for x in tk:
+            h = int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+            for i in range(bits):
+                c[i] += 1 if (h >> i) & 1 else -1
+        expected[d] = sum((1 << i) for i in range(bits) if c[i] > 0)
+    got = {
+        r["id"]: r["sim"]
+        for r in simhash_signatures(corpus, bits=bits, hash_fn="md5").collect()
+    }
+    assert got == expected

@@ -158,3 +158,50 @@ def test_windowed_watermark_late_data(spark, tmp_path):
         if r["window_start"].hour <= 11
     }
     assert batch_rows == got2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: first copy of each fingerprint is
+    emitted, in-horizon copies are suppressed — including across a
+    checkpointed availableNow restart (state persists). Normalization
+    matches the batch exact_dedup fingerprint (casing/punctuation
+    changes dedupe; real text changes don't)."""
+    from datetime import datetime
+
+    from ontology_matcher_spark.streaming.dedup import stream_dedup_documents
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, ts timestamp")
+
+    def doc(i, text, minute):
+        return (i, text, "en", "s", len(text), datetime(2026, 1, 1, 12, minute))
+
+    batch1 = [
+        doc(1, "alpha beta gamma", 0),
+        doc(2, "Alpha, beta GAMMA!", 1),   # normalized dup of 1
+        doc(3, "something else entirely", 2),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_dedup_documents(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got1 == [1, 3]
+
+    # restart with new files: an in-horizon dup (suppressed via
+    # persisted state) and one genuinely new text (emitted)
+    batch2 = [
+        doc(4, "alpha beta gamma", 5),     # dup of 1, inside horizon
+        doc(5, "fresh new content here", 6),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_dedup_documents(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got2 == [1, 3, 5]
