@@ -68,12 +68,62 @@ def _star_round(e: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact CC for a SMALL edge list: one Arrow collect → union-find
+    with path halving → root = lexicographic min member → parallelize
+    the mapping back. Semantics identical to the distributed star
+    loop (node, root=min member, one row per node appearing in edges).
+
+    This is the same adaptive-strategy call a broadcast join makes:
+    below the threshold the driver pass is strictly better — the star
+    loop pays ~1-2 s of fixed per-round latency (6 shuffle stages + a
+    scratch write) × O(log n) rounds regardless of size, while 43k
+    edges union-find in milliseconds (measured: the bench graph's CC
+    dropped from ~7-10 s to ~1 s at every parallelism level)."""
+    import pandas as pd
+
+    pdf = e.toPandas()
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    )
+    n = len(uniques)
+    us = codes[: len(pdf)]
+    vs = codes[len(pdf) :]
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(us, vs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = [find(i) for i in range(n)]
+    out = pd.DataFrame({"node": uniques, "__r": roots})
+    out["root"] = out.groupby("__r")["node"].transform("min")
+    return e.sparkSession.createDataFrame(
+        out[["node", "root"]], schema="node string, root string"
+    )
+
+
+#: edge-row threshold for the driver union-find fast path. 500k edge
+#: strings ≈ ~30 MB collected — bounded driver memory, same contract
+#: as spark.sql.autoBroadcastJoinThreshold. The RAW (pre-distinct)
+#: count is the guard — a scan-only agg, no shuffle — so the check
+#: itself stays cheap at 100 TB, where the distributed loop runs.
+SMALL_GRAPH_EDGES = 500_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
     rounds_per_materialize: int = 1,
+    small_graph_threshold: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Undirected CC → DataFrame(node, root) where root = the
     lexicographically smallest member of the node's component
@@ -91,11 +141,12 @@ def connected_components(
     ANSI mode); each round costs exactly ONE action."""
     spark = edges.sparkSession
     run_dir = os.path.join(scratch_root(spark), f"cc-{uuid.uuid4().hex[:8]}")
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    if small_graph_threshold and raw.count() <= small_graph_threshold:
+        return _driver_union_find(raw)
+    e = raw.distinct()
     all_nodes = materialize_at(
         _sym(e).select(F.col("u").alias("node")).distinct(),
         os.path.join(run_dir, "nodes"),

@@ -15,13 +15,20 @@ from ontology_matcher_spark.operators.canonicalize import (
 
 
 def _run_cc(spark, edges):
+    """Both execution strategies must match the Python oracle: the
+    driver union-find fast path (default below SMALL_GRAPH_EDGES) and
+    the distributed star loop (forced via small_graph_threshold=None)."""
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
-        r["node"]: r["root"]
-        for r in connected_components(df).collect()
-    }
     exp = oracle.connected_components(edges)
-    assert got == exp
+    got_uf = {
+        r["node"]: r["root"] for r in connected_components(df).collect()
+    }
+    assert got_uf == exp
+    got_star = {
+        r["node"]: r["root"]
+        for r in connected_components(df, small_graph_threshold=None).collect()
+    }
+    assert got_star == exp
 
 
 def test_cc_chain(spark):
