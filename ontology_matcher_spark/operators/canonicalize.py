@@ -146,13 +146,31 @@ def connected_components(
     )
     if small_graph_threshold and raw.count() <= small_graph_threshold:
         return _driver_union_find(raw)
+    # the raw count is only an upper bound — a mention-derived edge
+    # list is hugely duplicated (many mentions → the same ontology
+    # pair) while its DISTINCT set stays ontology-bounded. The
+    # distinct is the star loop's own first step, so materializing it
+    # here is never wasted: its (cheap, metadata-backed) count gets a
+    # second shot at the fast path.
     e = raw.distinct()
+    if small_graph_threshold:
+        e = materialize_at(e, os.path.join(run_dir, "edges0"))
+        if e.count() <= small_graph_threshold:
+            out = _driver_union_find(e)
+            drop_materialized(os.path.join(run_dir, "edges0"))
+            return out
     all_nodes = materialize_at(
         _sym(e).select(F.col("u").alias("node")).distinct(),
         os.path.join(run_dir, "nodes"),
     )
     prev_sig: tuple | None = None
-    prev_path: str | None = None
+    # the materialized distinct edge table (if any) is consumed by
+    # round 0 and then reaped like any other round table
+    prev_path = (
+        os.path.join(run_dir, "edges0")
+        if small_graph_threshold
+        else None
+    )
     from pyspark.sql.observation import Observation
 
     for rnd in range(max_iter):

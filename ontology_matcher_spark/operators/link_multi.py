@@ -7,13 +7,13 @@ compiles, and five job submissions. At 10^12 documents the mention
 table is the big input; it must be scanned ONCE.
 
 This operator links a mixed-label mention table in one dataflow:
-- one broadcast join against the xref dictionary (dst_ns limited to
-  the union of all types' namespaces),
-- one aggregation building per-namespace candidate arrays (union of
-  namespaces across types; a namespace column is only consulted for
-  labels whose type accepts it),
-- label-conditional routing / canonical / alias expressions (when
-  ladders over the handful of types — constant-folded per row).
+- the xref dictionary is pre-aggregated ONCE into a per-source-curie
+  map ns → (count, sorted candidate set) — ontology-bounded work,
+- one 1:1 broadcast map-join against the mention scan (the mention
+  table is never shuffled for candidate generation),
+- label-conditional routing / canonical / alias expressions as flat
+  map-lookup columns (when ladders over the handful of types —
+  constant-folded per row).
 
 Semantics are EXACTLY the per-type pipeline's: the parity test
 asserts multi(union) == ∪_t per_type(t) row-for-row.
@@ -66,7 +66,6 @@ def link_mentions_multi(
     dataflow pass. Output equals the union of per-type link_mentions
     runs restricted to each label."""
     all_ns: list[str] = sorted({ns for t in types.values() for ns in t.choices})
-    ns_idx = {ns: i for i, ns in enumerate(all_ns)}
 
     # ---- validate (label-conditional CURIE check) --------------------
     df = mentions
@@ -101,72 +100,109 @@ def link_mentions_multi(
     )
     valid = df.where(F.col("format_reason").isNull())
 
-    # ---- ONE broadcast candidate join + ONE NARROW aggregation -------
+    # ---- pre-aggregated candidate map + ONE 1:1 broadcast join -------
     # The round-1 shape collected 22 per-namespace ARRAYS per mention
-    # (22 ArrayBuffer agg states × millions of groups → allocation/GC
-    # storm: the agg stage measured 413 core-s runtime for 218 core-s
-    # of CPU). The routing rules only need per-namespace COUNTS (long
-    # buffers) plus exactly TWO arrays: the row's-type DEFAULT-ns
-    # candidates and its non-default alias candidates. The dictionary
-    # is pre-distinct'd so counts equal the reference's set sizes.
+    # (allocation/GC storm); rounds 2-4 joined mentions against the
+    # EDGE LIST (broadcast) and re-aggregated per mention — correct,
+    # but the widest shuffle in the pipeline: |mentions| × edge
+    # multiplicity rows into a |mentions|-group aggregation. At 10^12
+    # mentions that shuffle is corpus-bounded. This round the per-ns
+    # counts and sorted candidate sets are aggregated ONCE on the
+    # dictionary side (ontology-bounded: one row per src curie), and
+    # the mention scan does a 1:1 broadcast map-join — every routing
+    # quantity below is a flat map-lookup expression, and the mention
+    # table is never shuffled for candidate generation at all. The
+    # dictionary is pre-distinct'd so counts equal the reference's
+    # set sizes.
     edges = (
         xref_edges.where(F.col("dst_ns").isin(all_ns))
         .select("src_curie", "dst_ns", "dst_curie")
         .distinct()
     )
+    per_ns = edges.groupBy("src_curie", "dst_ns").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sort_array(F.collect_set("dst_curie")).alias("cands"),
+    )
+    emap = per_ns.groupBy("src_curie").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dst_ns", F.struct("cnt", "cands")))
+        ).alias("xmap")
+    )
     m = valid.select("idx", F.col("id").alias("raw_id"), "ns", F.col("label").alias("mlabel"))
-    joined = m.join(F.broadcast(edges), m.raw_id == edges.src_curie, "left")
+    joined = m.join(F.broadcast(emap), m.raw_id == emap.src_curie, "left")
 
-    # per-row derived flags (flat columns BEFORE the agg; ladders over
-    # flat attributes are linear in Catalyst, nested ones exploded its
-    # constraint propagation at round 1)
-    label_default = None
-    in_choices = None
-    for tname, otype in types.items():
-        is_t = F.col("mlabel") == tname
-        b = F.when(is_t & F.col("dst_ns").isin(list(otype.choices)), 1)
-        in_choices = b if in_choices is None else in_choices.when(
-            is_t & F.col("dst_ns").isin(list(otype.choices)), 1
-        )
-        d = F.when(is_t, F.lit(otype.default))
-        label_default = d if label_default is None else label_default.when(
-            is_t, F.lit(otype.default)
-        )
+    _EMPTY = F.array().cast("array<string>")
+
+    # flatten the map ONCE into per-ns (count, candidate-set) columns:
+    # every routing ladder below then references small flat
+    # expressions — keeping each generated function under the codegen
+    # size limits — instead of repeating GetMapValue chains per branch
+    ns_i = {ns: i for i, ns in enumerate(all_ns)}
     joined = joined.select(
-        "idx", "raw_id", "ns", "mlabel", "dst_ns", "dst_curie",
-        F.coalesce(in_choices, F.lit(0)).alias("in_choices"),
-        label_default.alias("ldefault"),
+        "idx",
+        "raw_id",
+        "ns",
+        "mlabel",
+        *[
+            F.coalesce(F.col("xmap")[ns]["cnt"], F.lit(0)).alias(f"c_{i}")
+            for ns, i in ns_i.items()
+        ],
+        *[
+            F.coalesce(F.col("xmap")[ns]["cands"], _EMPTY).alias(f"a_{i}")
+            for ns, i in ns_i.items()
+        ],
     )
 
-    def sz(ns: str) -> str:
-        return f"sz_{ns_idx[ns]}"
+    def sz(ns: str) -> Column:
+        """candidate count in ``ns`` (0 when unmapped)."""
+        return F.col(f"c_{ns_i[ns]}")
+
+    def cands(ns: str) -> Column:
+        """sorted candidate set in ``ns`` ([] when unmapped)."""
+        return F.col(f"a_{ns_i[ns]}")
+
+    def _mcase(fn) -> Column:
+        """when(mlabel == t, fn(otype)) ladder (pre-rename twin of
+        `_label_case`)."""
+        out = None
+        for tname, otype in types.items():
+            b = F.when(F.col("mlabel") == tname, fn(otype))
+            out = b if out is None else out.when(
+                F.col("mlabel") == tname, fn(otype)
+            )
+        return out
+
+    ldefault = _mcase(lambda o: F.lit(o.default))
+
+    def _sum(exprs: list[Column]) -> Column:
+        out = exprs[0]
+        for e in exprs[1:]:
+            out = out + e
+        return out
 
     # n_hits counts distance-1 neighbours in the MENTION's type's
     # namespaces only (per-type "No results found" semantics)
-    count_aggs = [
-        F.sum(
-            F.when(F.col("dst_ns") == ns, 1).otherwise(0)
-        ).alias(sz(ns))
-        for ns in all_ns
-    ]
-    wide = joined.groupBy("idx", "raw_id", "ns", "mlabel", "ldefault").agg(
-        F.sum("in_choices").alias("n_hits"),
-        F.sort_array(
-            F.collect_set(
-                F.when(F.col("dst_ns") == F.col("ldefault"), F.col("dst_curie"))
-            )
-        ).alias("cand_default_raw"),
-        F.sort_array(
-            F.collect_set(
-                F.when(
-                    (F.col("in_choices") == 1)
-                    & (F.col("dst_ns") != F.col("ldefault"))
-                    & (F.col("dst_ns") != F.col("ns")),
-                    F.col("dst_curie"),
+    n_hits = _mcase(lambda o: _sum([sz(ns) for ns in o.choices]))
+    cand_default_raw = _mcase(lambda o: cands(o.default))
+    # non-default, non-own candidates of the row's type (sorted set —
+    # each per-ns set is sorted, the flatten is re-sorted after dedup)
+    alias_collected = _mcase(
+        lambda o: F.sort_array(
+            F.array_distinct(
+                F.flatten(
+                    F.array(
+                        *(
+                            [
+                                F.when(F.col("ns") != ns_c, cands(ns_c)).otherwise(_EMPTY)
+                                for ns_c in o.choices
+                                if ns_c != o.default
+                            ]
+                            or [_EMPTY]
+                        )
+                    )
                 )
             )
-        ).alias("alias_collected"),
-        *count_aggs,
+        )
     )
 
     # own-namespace override (the reference maps a mention's own
@@ -175,35 +211,38 @@ def link_mentions_multi(
     #    default namespace, else the collected default-ns set;
     #  - aliases: collected non-default/non-own candidates, plus
     #    raw_id when the mention's own namespace is non-default.
-    own_is_default = F.col("ns") == F.col("ldefault")
+    own_is_default = F.col("ns") == ldefault
     default_arr = F.when(own_is_default, F.array(F.col("raw_id"))).otherwise(
-        F.col("cand_default_raw")
+        cand_default_raw
     )
-    alias_arr = F.when(
-        own_is_default, F.col("alias_collected")
-    ).otherwise(F.array_union(F.col("alias_collected"), F.array(F.col("raw_id"))))
+    alias_arr = F.when(own_is_default, alias_collected).otherwise(
+        F.array_union(alias_collected, F.array(F.col("raw_id")))
+    )
 
-    # routing predicates from flat count columns: a candidate count in
-    # any non-own namespace of the row's type > 1
-    multi_default = ~own_is_default & (
-        _label_case(types, lambda o: F.col(sz(o.default))) > 1
-    )
-    any_multi = _label_case(
-        types,
-        lambda o: F.greatest(
-            *[
-                F.when(F.col("ns") == ns, F.lit(0)).otherwise(F.col(sz(ns)))
-                for ns in o.choices
-            ]
+    # routing predicates: a candidate count in any non-own namespace
+    # of the row's type > 1
+    multi_default = ~own_is_default & (_mcase(lambda o: sz(o.default)) > 1)
+
+    def _greatest(exprs: list[Column]) -> Column:
+        return exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
+
+    any_multi = (
+        _mcase(
+            lambda o: _greatest(
+                [
+                    F.when(F.col("ns") == ns, F.lit(0)).otherwise(sz(ns))
+                    for ns in o.choices
+                ]
+            )
         )
-        > 1,
+        > 1
     )
-    wide = wide.select(
+    wide = joined.select(
         "idx",
         "raw_id",
         "ns",
         F.col("mlabel").alias("label"),
-        F.when(F.col("n_hits") == 0, F.lit(R_NO_RESULTS))
+        F.when(n_hits == 0, F.lit(R_NO_RESULTS))
         .when(multi_default, F.lit(R_MULTI))
         .when(
             F.lit(strategy == Strategy.UNIQUE) & any_multi,

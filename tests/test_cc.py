@@ -85,3 +85,25 @@ def test_cc_on_fixture_edges(spark, fixture_dir, bundle):
     for c in chains:
         roots = {got[m] for m in c.members}
         assert len(roots) == 1, c.key
+
+
+def test_cc_small_graph_guard_two_stage(spark):
+    """A dup-heavy edge list (raw count above the threshold, distinct
+    set below it) must still take the union-find fast path after the
+    distinct — the mention-derived pipeline shape; and a distinct set
+    above the threshold must run the star loop off the materialized
+    distinct table. Both must be exact."""
+    base = [("a", "b"), ("b", "c"), ("x", "y")]
+    dup = base * 7  # raw 21
+    df = spark.createDataFrame(dup, ["src", "dst"])
+    exp = oracle.connected_components(dup)
+    got_uf2 = {
+        r["node"]: r["root"]
+        for r in connected_components(df, small_graph_threshold=5).collect()
+    }
+    assert got_uf2 == exp
+    got_star = {
+        r["node"]: r["root"]
+        for r in connected_components(df, small_graph_threshold=2).collect()
+    }
+    assert got_star == exp
