@@ -416,6 +416,38 @@ CEIL_SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_CEIL_SPREAD", "1.45"))
 #: slow passed the spread test). Identical warmed work only varies
 #: ~10-30% uncontended; 1.35 is outside that.
 XWIN_DEGRADE_MAX = float(os.environ.get("SPARK_GRAFT_XWIN_DEGRADE", "1.35"))
+#: pre-window idle gate (round 5): the spike checks above REJECT
+#: windows measured under external load, but rejection happens after
+#: ~8-12 minutes of measuring — a load storm burns the whole scaling
+#: budget producing invalid attempts (round-5 run 1: 2 of 5 attempts
+#: invalid, 75 min spent, no clean adjacent pair). Cheaper to WAIT
+#: than to measure garbage: before each window, poll /proc/loadavg
+#: until load1 < IDLE_GATE_LOAD (our own Spark is stopped between
+#: windows, so load1 here is external load + our decaying tail) or
+#: the per-attempt / total wait caps expire. Waiting is excluded from
+#: the measurement budget (it costs wall, not compute) but bounded by
+#: its own total so a never-idle box still terminates on time.
+IDLE_GATE_LOAD = float(os.environ.get("SPARK_GRAFT_IDLE_GATE_LOAD", "4.0"))
+IDLE_GATE_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_MAX", "300"))
+IDLE_GATE_WAIT_TOTAL = float(
+    os.environ.get("SPARK_GRAFT_IDLE_WAIT_TOTAL", "900")
+)
+
+
+def _wait_for_idle(already_waited: float) -> float:
+    """Block until load1 < IDLE_GATE_LOAD or a wait cap expires;
+    returns seconds waited. 15 s poll ≈ the load1 decay granularity."""
+    t0 = time.time()
+    while True:
+        waited = time.time() - t0
+        remaining = min(
+            IDLE_GATE_WAIT_MAX - waited,
+            IDLE_GATE_WAIT_TOTAL - already_waited - waited,
+        )
+        if remaining <= 0 or _load1() < IDLE_GATE_LOAD:
+            break
+        time.sleep(min(15, remaining))
+    return time.time() - t0
 
 
 def _one_window(
@@ -527,15 +559,20 @@ def scaling_measurement(
 
     attempts: list[dict] = []
     budget_stop = None
+    waited_total = 0.0
     t0 = time.time()
     while len(attempts) < max_attempts:
-        elapsed = time.time() - t0
+        # idle-wait is excluded from the measurement budget (see
+        # IDLE_GATE_LOAD note) but bounded by IDLE_GATE_WAIT_TOTAL
+        elapsed = time.time() - t0 - waited_total
         if attempts and elapsed > BENCH_BUDGET_SEC:
             budget_stop = (
                 f"scaling budget {BENCH_BUDGET_SEC:.0f}s exceeded after "
-                f"{len(attempts)} attempts ({elapsed:.0f}s elapsed)"
+                f"{len(attempts)} attempts ({elapsed:.0f}s measuring, "
+                f"{waited_total:.0f}s idle-gated)"
             )
             break
+        waited_total += _wait_for_idle(waited_total)
         attempts.append(_one_window(corpus_dir, cpus_a, cpus_b, reps))
         _revalidate(attempts)
         # snapshot after EVERY window so a timeout mid-next-window
@@ -586,6 +623,7 @@ def scaling_measurement(
         out["criterion_met"] = False
     if budget_stop:
         out["budget_stop"] = budget_stop
+    out["idle_gate_waited_sec"] = round(waited_total, 1)
     _PARTIAL.pop("scaling_windows_so_far", None)
     return out
 
