@@ -39,9 +39,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ------------------------------------------------------------- shingles
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles (distinct) of normalized text."""
-    toks = word_tokens(text)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct) of a token-array column.
+
+    Hot paths should project the token array FIRST and pass the plain
+    column here: inlining ``word_tokens(text)`` makes every branch of
+    this CASE re-run the regex split per row (~8 evaluations in the
+    round-5 plan) and bloats the generated explode code."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     gram = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
@@ -50,6 +54,11 @@ def shingles(text: Column, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct) of normalized text."""
+    return shingles_of_tokens(word_tokens(text), k)
 
 
 # ------------------------------------------------------------- minhash
@@ -131,16 +140,33 @@ def minhash_signatures(
     the shuffle carries one 32-long row per doc, min combines locally.
     a·h+b < 2^62 so no ANSI overflow."""
     params = _affine_params(num_hashes)
+    # tokenize ONCE per row in a projection, then shingle the token
+    # array: the fused form re-ran the regex split in every CASE
+    # branch of the explode expression
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k_shingle)).alias("s"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "id",
+        F.explode(shingles_of_tokens(F.col("__toks"), k_shingle)).alias("s"),
     )
     h = sh.select("id", _base_hash(F.col("s"), hash_fn).alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(_MERSENNE))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = h.groupBy("id").agg(*aggs)
+    # pre-project the affine transforms into plain columns, then
+    # aggregate trivial min(p_i): identical arithmetic, but the
+    # generated code for the (partial + final) HashAggregate no longer
+    # inlines all num_hashes pmod expressions into its update
+    # functions — the round-5 form cost ~2 s of first-run codegen
+    # compile on this query alone (the driver bench always pays it)
+    proj = h.select(
+        "id",
+        *[
+            F.pmod(F.col("h") * a + b, F.lit(_MERSENNE)).alias(f"p{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    sig = proj.groupBy("id").agg(
+        *[F.min(f"p{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
     return sig.select(
         "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -186,6 +212,14 @@ def minhash_lsh_pairs(
         F.min("id").alias("id"),
         F.sort_array(F.collect_list("id")).alias("members"),
     )
+    # materialize the signature groups ONCE: they feed three consumers
+    # (both sides of the banded self-join AND the intra-group branch) —
+    # un-materialized, each consumer re-runs the whole shingle →
+    # signature aggregation from the raw corpus (the round-5 plan
+    # executed it twice per call). One row per DISTINCT signature, so
+    # this is the narrowest point to cut; the band explode below is a
+    # cheap projection recomputed per consumer.
+    grp = materialize(grp, "mh-grp")
 
     # band hash over the band's signature rows (multi-arg hash over
     # element_at — stays in codegen, no lambdas)
@@ -216,9 +250,6 @@ def minhash_lsh_pairs(
         F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
     )
 
-    # materialize signatures once — the self-join would otherwise
-    # recompute the shingle→signature aggregation for BOTH sides
-    banded = materialize(banded, "mh-banded")
     if max_bucket is not None:
         banded, stats = apply_bucket_guard(
             banded, ["band", "bh"], max_bucket, "minhash_lsh_pairs"
@@ -341,13 +372,22 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(word_tokens(F.col(text_col))).alias("t"),
     ).select("id", th.alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"c{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*sums)
+    # pre-project the ±1 bit terms, then aggregate trivial sum(b_i) —
+    # same codegen-size reduction as minhash_signatures: the
+    # (partial + final) sum aggregate no longer inlines ``bits``
+    # shift/when expressions into its update functions
+    proj = tok.select(
+        "id",
+        *[
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = proj.groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"c{i}") for i in range(bits)]
+    )
     sig = None
     for i in range(bits):
         term = F.when(F.col(f"c{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
@@ -434,7 +474,10 @@ def ngram_jaccard_pairs(
     the intersection and the set sizes, so it remains a true Jaccard
     of the filtered sets; None (default) = exact."""
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "id", F.explode(shingles_of_tokens(F.col("__toks"), k_shingle)).alias("s")
     )
     if max_shingle_df is not None:
         dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))

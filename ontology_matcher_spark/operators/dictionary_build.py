@@ -311,7 +311,7 @@ def detection_input_fingerprint(
     not silently served (the round-3 bench corpus v2→v3 bump exposed
     exactly that staleness)."""
     t = terms.select("curie", "name", "synonyms")
-    trow = t.agg(
+    tagg = t.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.bit_xor(
@@ -321,18 +321,22 @@ def detection_input_fingerprint(
             ),
             F.lit(0),
         ).alias("h"),
-    ).first()
-    parts = [f"t:{trow['n']}:{trow['h']}"]
+    )
     if xref_edges is None:
-        parts.append("x:none")
+        trow = tagg.first()
+        parts = [f"t:{trow['n']}:{trow['h']}", "x:none"]
     else:
-        xrow = xref_edges.agg(
-            F.count(F.lit(1)).alias("n"),
+        # ONE action for both tables (crossJoin of two 1-row aggs):
+        # this fingerprint is on the artifact REUSE-check path, so its
+        # serial job latency is paid by every detection run
+        xagg = xref_edges.agg(
+            F.count(F.lit(1)).alias("xn"),
             F.coalesce(
                 F.bit_xor(F.xxhash64("src_curie", "dst_curie")), F.lit(0)
-            ).alias("h"),
-        ).first()
-        parts.append(f"x:{xrow['n']}:{xrow['h']}")
+            ).alias("xh"),
+        )
+        row = tagg.crossJoin(xagg).first()
+        parts = [f"t:{row['n']}:{row['h']}", f"x:{row['xn']}:{row['xh']}"]
     if extra_term_rows:
         import hashlib
 
@@ -366,6 +370,8 @@ def write_detection_artifact(
     executor can read it — the same contract as Spark's own reliable
     checkpoint. ``extra_term_rows`` (curie/name/synonyms dicts) lets a
     caller add ad-hoc vocabulary without a second source table."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = terms.sparkSession
     t = terms.select("curie", "name", "synonyms")
     if extra_term_rows:
@@ -378,29 +384,51 @@ def write_detection_artifact(
         )
         t = t.unionByName(extra)
     surfaces = detection_surfaces(t)
-    surfaces.write.mode("overwrite").parquet(f"{path}/surfaces")
-    t.select("curie").distinct().write.mode("overwrite").parquet(f"{path}/curies")
+    # the fuzzy index only consumes NAME surfaces, which derive from t
+    # without the synonym explode — so it does NOT have to wait for the
+    # surfaces write (round-5 chained fuzzy after surfaces; same rows)
+    name_surfaces = (
+        t.select(normalize_surface(F.col("name")).alias("surface"))
+        .where(F.col("surface") != "")
+        .withColumn("curie", F.lit(""))
+        .withColumn("match_type", F.lit("name"))
+    )
     xr = (
         detection_xref_map(t, xref_edges)
         if xref_edges is not None
         else spark.createDataFrame([], "src_curie string, dst_curie string")
     )
-    xr.write.mode("overwrite").parquet(f"{path}/xrefs")
-    # re-read the written surfaces so the fuzzy explode doesn't
-    # recompute the normalization scan
-    detection_fuzzy_index(spark.read.parquet(f"{path}/surfaces")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/fuzzy")
+
+    # the four sub-table writes and the fingerprint aggregation are
+    # independent jobs — submit them concurrently so the tail of one
+    # back-fills the cores the others leave idle (guide-standard
+    # overlap of independent actions; job descriptions are
+    # thread-local, so each job stays labelled)
+    jobs = {
+        "surfaces": lambda: surfaces.write.mode("overwrite").parquet(
+            f"{path}/surfaces"
+        ),
+        "curies": lambda: t.select("curie")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{path}/curies"),
+        "xrefs": lambda: xr.write.mode("overwrite").parquet(f"{path}/xrefs"),
+        "fuzzy": lambda: detection_fuzzy_index(name_surfaces)
+        .write.mode("overwrite")
+        .parquet(f"{path}/fuzzy"),
+        "fingerprint": lambda: detection_input_fingerprint(
+            terms, xref_edges, extra_term_rows
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in jobs.items()}
+        results = {name: f.result() for name, f in futures.items()}
     # stamp the input fingerprint LAST: its presence implies a complete
     # build from exactly these inputs (reuse checks compare it before
     # skipping a rebuild — see pipeline.detected_mentions_df)
     from ontology_matcher_spark.functions.fs import fs_write_text
 
-    fs_write_text(
-        spark,
-        f"{path}/_FINGERPRINT",
-        detection_input_fingerprint(terms, xref_edges, extra_term_rows),
-    )
+    fs_write_text(spark, f"{path}/_FINGERPRINT", results["fingerprint"])
     return path
 
 
