@@ -82,6 +82,9 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     dropped from ~7-10 s to ~1 s at every parallelism level)."""
     import pandas as pd
 
+    # output schema derives from the edge columns (callers may pass
+    # non-string node ids; hardcoding strings coerced them silently)
+    u_type = e.schema["u"].dataType.simpleString()
     pdf = e.toPandas()
     codes, uniques = pd.factorize(
         pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
@@ -105,7 +108,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     out = pd.DataFrame({"node": uniques, "__r": roots})
     out["root"] = out.groupby("__r")["node"].transform("min")
     return e.sparkSession.createDataFrame(
-        out[["node", "root"]], schema="node string, root string"
+        out[["node", "root"]], schema=f"node {u_type}, root {u_type}"
     )
 
 
@@ -144,14 +147,14 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    if small_graph_threshold and raw.count() <= small_graph_threshold:
-        return _driver_union_find(raw)
-    # the raw count is only an upper bound — a mention-derived edge
-    # list is hugely duplicated (many mentions → the same ontology
-    # pair) while its DISTINCT set stays ontology-bounded. The
-    # distinct is the star loop's own first step, so materializing it
-    # here is never wasted: its (cheap, metadata-backed) count gets a
-    # second shot at the fast path.
+    # distinct FIRST: the star loop needs the distinct edge set anyway,
+    # and a mention-derived edge list is hugely duplicated (many
+    # mentions → the same ontology pair) while its DISTINCT set stays
+    # ontology-bounded. Materializing it makes the threshold check a
+    # metadata-backed parquet count (near-free) and the fast-path
+    # collect moves only distinct rows — the round-5 shape spent one
+    # full scan on a raw-count guard and then collected the RAW
+    # multiset (same CC, more bytes).
     e = raw.distinct()
     if small_graph_threshold:
         e = materialize_at(e, os.path.join(run_dir, "edges0"))

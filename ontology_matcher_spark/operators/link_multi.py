@@ -98,8 +98,6 @@ def link_mentions_multi(
             ),
         )
     )
-    valid = df.where(F.col("format_reason").isNull())
-
     # ---- pre-aggregated candidate map + ONE 1:1 broadcast join -------
     # The round-1 shape collected 22 per-namespace ARRAYS per mention
     # (allocation/GC storm); rounds 2-4 joined mentions against the
@@ -128,7 +126,20 @@ def link_mentions_multi(
             F.collect_list(F.struct("dst_ns", F.struct("cnt", "cands")))
         ).alias("xmap")
     )
-    m = valid.select("idx", F.col("id").alias("raw_id"), "ns", F.col("label").alias("mlabel"))
+    # ONE pass for valid AND invalid rows (the round-5 shape ran
+    # separate join subtrees for the converted and failed sides of the
+    # output union: the mention table was scanned three times and the
+    # xref-map / first-record aggregations each built and executed
+    # twice). Invalid rows ride the same broadcast probe — their
+    # routing columns are garbage gated off by format_reason, which
+    # takes precedence in the reason coalesce below.
+    m = df.select(
+        "idx",
+        F.col("id").alias("raw_id"),
+        "ns",
+        F.col("label").alias("mlabel"),
+        "format_reason",
+    )
     joined = m.join(F.broadcast(emap), m.raw_id == emap.src_curie, "left")
 
     _EMPTY = F.array().cast("array<string>")
@@ -143,6 +154,7 @@ def link_mentions_multi(
         "raw_id",
         "ns",
         "mlabel",
+        "format_reason",
         *[
             F.coalesce(F.col("xmap")[ns]["cnt"], F.lit(0)).alias(f"c_{i}")
             for ns, i in ns_i.items()
@@ -237,18 +249,23 @@ def link_mentions_multi(
         )
         > 1
     )
-    wide = joined.select(
-        "idx",
-        "raw_id",
-        "ns",
-        F.col("mlabel").alias("label"),
+    # reason: format failures first (they never routed), then the
+    # routing ladder — identical precedence to the round-5 two-branch
+    # form, where invalid rows bypassed routing entirely
+    route_reason = (
         F.when(n_hits == 0, F.lit(R_NO_RESULTS))
         .when(multi_default, F.lit(R_MULTI))
         .when(
             F.lit(strategy == Strategy.UNIQUE) & any_multi,
             F.lit(R_UNIQUE_MULTI),
         )
-        .alias("reason"),
+    )
+    wide = joined.select(
+        "idx",
+        "raw_id",
+        "ns",
+        F.col("mlabel").alias("label"),
+        F.coalesce(F.col("format_reason"), route_reason).alias("reason"),
         default_arr.alias("cand_default"),
         alias_arr.alias("aliases"),
     )
@@ -272,13 +289,14 @@ def link_mentions_multi(
         *[F.col(f"__r.{c}").alias(f"r_{c}") for c in _RECORD_COLS],
     )
 
-    conv = wide.where(F.col("reason").isNull())
-    conv = conv.join(
+    # ---- ONE records join + ONE metadata join for every row ----------
+    rows = wide.join(
         records,
-        (conv.raw_id == records.r_id) & (conv.label == records.r_key_label),
+        (wide.raw_id == records.r_id) & (wide.label == records.r_key_label),
         "left",
     )
-    conv = conv.withColumn(
+    is_conv = F.col("reason").isNull()
+    rows = rows.withColumn(
         "canonical",
         F.when(F.size("cand_default") == 1, F.element_at("cand_default", 1)),
     )
@@ -290,10 +308,13 @@ def link_mentions_multi(
     # metadata key = canonical when resolved, else the RAW id: the
     # reference fetches metadata per QUERY and applies it even to rows
     # with no default mapping (format_by_metadata runs before the
-    # id-None branch, ontology_formatter.py:697-700 + :712-717)
-    conv = conv.join(
+    # id-None branch, ontology_formatter.py:697-700 + :712-717).
+    # Failed rows get a NULL key — no match, md_* stay NULL, and the
+    # reason-gated output expressions never read them.
+    rows = rows.join(
         F.broadcast(metadata_table(terms)),
-        F.coalesce(conv.canonical, conv.raw_id) == F.col("md_curie"),
+        F.when(is_conv, F.coalesce(rows.canonical, rows.raw_id))
+        == F.col("md_curie"),
         "left",
     )
 
@@ -310,48 +331,44 @@ def link_mentions_multi(
             dflt[col]
         )
 
-    resolved = F.col("canonical").isNotNull()
-    formatted_conv = (
-        conv.withColumn("o_name", o("name"))
+    resolved = is_conv & F.col("canonical").isNotNull()
+    rows = (
+        rows.withColumn("o_name", o("name"))
         .withColumn("o_description", o("description"))
         .withColumn("o_synonyms", o("synonyms"))
         .withColumn("o_taxid", o("taxid"))
         .withColumn("o_pmids", o("pmids"))
         .withColumn("o_xrefs", o("xrefs"))
-        .select(
-            F.when(resolved, F.col("canonical")).otherwise(F.col("raw_id")).alias("id"),
-            F.col("o_name").alias("name"),
-            F.when(resolved, F.col("label")).otherwise(F.col("r_label")).alias("label"),
-            F.col("r_resource").alias("resource"),
-            F.col("o_description").alias("description"),
-            F.col("o_synonyms").alias("synonyms"),
-            F.col("o_pmids").alias("pmids"),
-            F.col("o_taxid").alias("taxid"),
-            F.col("o_xrefs").alias("xrefs"),
-            F.when(resolved, F.col("raw_id")).otherwise(F.lit("")).alias("raw_id"),
-        )
     )
 
-    # ---- failed side --------------------------------------------------
-    failures = wide.where(F.col("reason").isNotNull()).select(
-        F.col("raw_id").alias("fid"), F.col("label").alias("flabel"), "reason"
+    default_of_label = _label_case(types, lambda o: F.lit(o.default))
+    rescue = (
+        F.substring_index("raw_id", ":", 1) == default_of_label
+    ) | F.lit(strategy == Strategy.MIXTURE)
+
+    # converted rows emit the metadata-formatted columns; rescued
+    # failures emit the raw-record passthrough (identical to the
+    # round-5 rescued branch — raw_id always "")
+    formatted = rows.where(is_conv | rescue).select(
+        F.when(resolved, F.col("canonical")).otherwise(F.col("raw_id")).alias("id"),
+        F.when(is_conv, F.col("o_name")).otherwise(F.col("r_name")).alias("name"),
+        F.when(resolved, F.col("label")).otherwise(F.col("r_label")).alias("label"),
+        F.col("r_resource").alias("resource"),
+        F.when(is_conv, F.col("o_description"))
+        .otherwise(F.col("r_description"))
+        .alias("description"),
+        F.when(is_conv, F.col("o_synonyms"))
+        .otherwise(F.col("r_synonyms"))
+        .alias("synonyms"),
+        F.when(is_conv, F.col("o_pmids")).otherwise(F.col("r_pmids")).alias("pmids"),
+        F.when(is_conv, F.col("o_taxid")).otherwise(F.col("r_taxid")).alias("taxid"),
+        F.when(is_conv, F.col("o_xrefs")).otherwise(F.col("r_xrefs")).alias("xrefs"),
+        F.when(resolved, F.col("raw_id")).otherwise(F.lit("")).alias("raw_id"),
     )
-    invalid = df.where(F.col("format_reason").isNotNull()).select(
-        F.col("id").alias("fid"),
-        F.col("label").alias("flabel"),
-        F.col("format_reason").alias("reason"),
-    )
-    failed_all = failures.unionByName(invalid)
-    f = failed_all.join(
-        records,
-        (failed_all.fid == records.r_id)
-        & (failed_all.flabel == records.r_key_label),
-        "left",
-    )
-    f = f.select(
-        F.col("fid").alias("id"),
+    failed_formatted = rows.where(~is_conv & ~rescue).select(
+        F.col("raw_id").alias("id"),
         F.col("r_name").alias("name"),
-        F.col("flabel").alias("label"),
+        "label",
         F.col("r_resource").alias("resource"),
         F.col("r_description").alias("description"),
         F.col("r_synonyms").alias("synonyms"),
@@ -359,15 +376,5 @@ def link_mentions_multi(
         F.col("r_taxid").alias("taxid"),
         F.col("r_xrefs").alias("xrefs"),
         "reason",
-        F.substring_index("fid", ":", 1).alias("__prefix"),
     )
-    default_of_label = _label_case(types, lambda o: F.lit(o.default))
-    rescue = (F.col("__prefix") == default_of_label) | F.lit(
-        strategy == Strategy.MIXTURE
-    )
-    rescued = f.where(rescue).withColumn("raw_id", F.lit("")).select(
-        *FORMATTED_COLUMNS
-    )
-    failed_formatted = f.where(~rescue).select(*FAILED_COLUMNS)
-    formatted = formatted_conv.unionByName(rescued)
     return formatted, failed_formatted

@@ -84,18 +84,14 @@ def build_triples(
     if canon is None:
         canon = canonical_assignment(pairs, otype.default)  # node → canonical
 
-    mention_links = (
-        formatted.join(canon, formatted.id == canon.node, "left")
-        .select(
-            F.when(F.col("raw_id") != "", F.col("raw_id"))
-            .otherwise(F.col("id"))
-            .alias("subj"),
-            F.lit("skos:exactMatch").alias("pred"),
-            F.coalesce(F.col("canonical"), F.col("id")).alias("obj"),
-            F.lit(otype.type).alias("label"),
-            F.lit("linker").alias("src"),
-        )
-        .distinct()
+    mention_links = formatted.join(canon, formatted.id == canon.node, "left").select(
+        F.when(F.col("raw_id") != "", F.col("raw_id"))
+        .otherwise(F.col("id"))
+        .alias("subj"),
+        F.lit("skos:exactMatch").alias("pred"),
+        F.coalesce(F.col("canonical"), F.col("id")).alias("obj"),
+        F.lit(otype.type).alias("label"),
+        F.lit("linker").alias("src"),
     )
     xref_triples = pairs.select(
         F.col("src").alias("subj"),
@@ -103,19 +99,23 @@ def build_triples(
         F.col("dst").alias("obj"),
         F.lit(otype.type).alias("label"),
         F.lit("linker").alias("src"),
-    ).distinct()
-    isa_triples = (
-        terms.where((F.col("label") == otype.type) & (F.col("parent_curie") != ""))
-        .select(
-            F.col("curie").alias("subj"),
-            F.lit("is-a").alias("pred"),
-            F.col("parent_curie").alias("obj"),
-            F.lit(otype.type).alias("label"),
-            F.lit("dictionary").alias("src"),
-        )
+    )
+    isa_triples = terms.where(
+        (F.col("label") == otype.type) & (F.col("parent_curie") != "")
+    ).select(
+        F.col("curie").alias("subj"),
+        F.lit("is-a").alias("pred"),
+        F.col("parent_curie").alias("obj"),
+        F.lit(otype.type).alias("label"),
+        F.lit("dictionary").alias("src"),
+    )
+    # ONE distinct after the union (disjoint `pred` literals per
+    # branch ⇒ identical row set, 1 exchange instead of 3 — guide §2.4)
+    return (
+        mention_links.unionByName(xref_triples)
+        .unionByName(isa_triples)
         .distinct()
     )
-    return mention_links.unionByName(xref_triples).unionByName(isa_triples)
 
 
 def build_triples_multi(
@@ -134,18 +134,14 @@ def build_triples_multi(
         "label",
         F.explode(split_pipe("xrefs")).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    mention_links = (
-        formatted.join(canon, formatted.id == canon.node, "left")
-        .select(
-            F.when(F.col("raw_id") != "", F.col("raw_id"))
-            .otherwise(formatted.id)
-            .alias("subj"),
-            F.lit("skos:exactMatch").alias("pred"),
-            F.coalesce(F.col("canonical"), formatted.id).alias("obj"),
-            "label",
-            F.lit("linker").alias("src"),
-        )
-        .distinct()
+    mention_links = formatted.join(canon, formatted.id == canon.node, "left").select(
+        F.when(F.col("raw_id") != "", F.col("raw_id"))
+        .otherwise(formatted.id)
+        .alias("subj"),
+        F.lit("skos:exactMatch").alias("pred"),
+        F.coalesce(F.col("canonical"), formatted.id).alias("obj"),
+        "label",
+        F.lit("linker").alias("src"),
     )
     xref_triples = pairs.select(
         F.col("src").alias("subj"),
@@ -153,19 +149,24 @@ def build_triples_multi(
         F.col("dst").alias("obj"),
         "label",
         F.lit("linker").alias("src"),
-    ).distinct()
-    isa_triples = (
-        terms.where(F.col("label").isin(labels) & (F.col("parent_curie") != ""))
-        .select(
-            F.col("curie").alias("subj"),
-            F.lit("is-a").alias("pred"),
-            F.col("parent_curie").alias("obj"),
-            "label",
-            F.lit("dictionary").alias("src"),
-        )
+    )
+    isa_triples = terms.where(
+        F.col("label").isin(labels) & (F.col("parent_curie") != "")
+    ).select(
+        F.col("curie").alias("subj"),
+        F.lit("is-a").alias("pred"),
+        F.col("parent_curie").alias("obj"),
+        "label",
+        F.lit("dictionary").alias("src"),
+    )
+    # ONE distinct after the union instead of one per branch: the three
+    # branches carry disjoint `pred` literals, so distinct-of-union ≡
+    # union-of-distincts — 1 exchange instead of 3 (guide §2.4)
+    return (
+        mention_links.unionByName(xref_triples)
+        .unionByName(isa_triples)
         .distinct()
     )
-    return mention_links.unionByName(xref_triples).unionByName(isa_triples)
 
 
 def detected_mentions_df(
