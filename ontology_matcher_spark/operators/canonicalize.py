@@ -68,11 +68,15 @@ def _star_round(e: DataFrame) -> DataFrame:
     )
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
+def _driver_union_find(e: DataFrame, pdf=None) -> DataFrame:
     """Exact CC for a SMALL edge list: one Arrow collect → union-find
     with path halving → root = lexicographic min member → parallelize
     the mapping back. Semantics identical to the distributed star
     loop (node, root=min member, one row per node appearing in edges).
+
+    ``pdf``: pass the already-collected edges (pandas) to skip the
+    collect — the guard in connected_components collects while
+    checking the threshold, so the rows never cross twice.
 
     This is the same adaptive-strategy call a broadcast join makes:
     below the threshold the driver pass is strictly better — the star
@@ -85,7 +89,8 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     # output schema derives from the edge columns (callers may pass
     # non-string node ids; hardcoding strings coerced them silently)
     u_type = e.schema["u"].dataType.simpleString()
-    pdf = e.toPandas()
+    if pdf is None:
+        pdf = e.toPandas()
     codes, uniques = pd.factorize(
         pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
     )
@@ -147,14 +152,21 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    # distinct FIRST: the star loop needs the distinct edge set anyway,
-    # and a mention-derived edge list is hugely duplicated (many
-    # mentions → the same ontology pair) while its DISTINCT set stays
-    # ontology-bounded. Materializing it makes the threshold check a
-    # metadata-backed parquet count (near-free) and the fast-path
-    # collect moves only distinct rows — the round-5 shape spent one
-    # full scan on a raw-count guard and then collected the RAW
-    # multiset (same CC, more bytes).
+    # fast-path guard fused with its collect: limit(threshold+1) stops
+    # early, so one BOUNDED job both answers "is the graph small?" and
+    # (when yes) already holds the complete edge list — the round-5
+    # shape paid a full-scan count and then a second full collect. At
+    # 100 TB the limit is strictly cheaper than the count (bounded work
+    # vs a full scan); when the graph is big the wasted collect is
+    # capped at threshold+1 rows (~30 MB). An A/B with
+    # distinct-materialize-first instead doubled bench kg_cc — the
+    # distinct round-trip costs more than it saves on small graphs;
+    # hugely-duplicated mention-derived lists still get the distinct
+    # second chance below.
+    if small_graph_threshold:
+        head = raw.limit(small_graph_threshold + 1).toPandas()
+        if len(head) <= small_graph_threshold:
+            return _driver_union_find(raw, pdf=head)
     e = raw.distinct()
     if small_graph_threshold:
         e = materialize_at(e, os.path.join(run_dir, "edges0"))

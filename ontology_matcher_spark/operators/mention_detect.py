@@ -179,7 +179,14 @@ def _assemble(
         "xref_map": xref_map,
         "fuzzy_index": fuzzy_index,
         "max_tokens": max_len,
+        # per-dictionary memo for the fuzzy tier (see _scan_text)
+        "fuzzy_memo": {},
     }
+
+
+#: fuzzy-tier memo size cap — vocabulary-bounded in practice; the cap
+#: only matters for adversarial corpora of unique long tokens
+_FUZZY_MEMO_MAX = 200_000
 
 
 #: per-worker-process artifact cache: Python workers are reused across
@@ -292,18 +299,32 @@ def _scan_text(
                     for curie, mtype in hits:
                         out.append((surface, curie, mtype))
         # fuzzy (rank 4): single tokens at edit distance 1 from a
-        # dictionary NAME, only where nothing matched exactly
+        # dictionary NAME, only where nothing matched exactly. The
+        # deletion-neighbourhood probe allocates len(tok) strings per
+        # token — ~25% of kernel time profiled — and is a pure function
+        # of the token, so results are memoized per dictionary
+        # (vocabulary-bounded; cleared at _FUZZY_MEMO_MAX to bound a
+        # reused worker's memory on adversarial corpora)
         if not hit_here and len(tok) >= _FUZZY_MIN_LEN:
-            seen: set[str] = set()
-            for v in _deletions(tok) | {tok}:
-                for surface in fuzzy_index.get(v, ()):
-                    if surface in seen or surface == tok:
-                        continue
-                    seen.add(surface)
-                    if _lev_le1(tok, surface):
-                        for curie, mtype in surfaces[surface]:
-                            if mtype == "name":
-                                out.append((tok, curie, "fuzzy"))
+            memo = d.get("fuzzy_memo")
+            hits2 = memo.get(tok) if memo is not None else None
+            if hits2 is None:
+                hits2 = []
+                seen: set[str] = set()
+                for v in _deletions(tok) | {tok}:
+                    for surface in fuzzy_index.get(v, ()):
+                        if surface in seen or surface == tok:
+                            continue
+                        seen.add(surface)
+                        if _lev_le1(tok, surface):
+                            for curie, mtype in surfaces[surface]:
+                                if mtype == "name":
+                                    hits2.append((tok, curie, "fuzzy"))
+                if memo is not None:
+                    if len(memo) >= _FUZZY_MEMO_MAX:
+                        memo.clear()
+                    memo[tok] = hits2
+            out.extend(hits2)
     return out
 
 
@@ -319,30 +340,72 @@ def detect_mentions(documents: DataFrame, dictionary) -> DataFrame:
     """
     artifact_path = dictionary if isinstance(dictionary, str) else None
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import pyarrow as pa
+
         d = (
             load_detection_artifact(artifact_path)
             if artifact_path is not None
             else dictionary.value
         )
-        for pdf in batches:
-            rows: list[tuple] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                if spans is None:
-                    continue
-                for si, span in enumerate(spans):
-                    if span["kind"] != "text" or not span["text"]:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("span_idx", pa.int32()),
+                ("offset", pa.int32()),
+                ("surface", pa.string()),
+                ("id", pa.string()),
+                ("match_type", pa.string()),
+            ]
+        )
+        for batch in batches:  # pyarrow.RecordBatch
+            doc_ids = batch.column(0).to_pylist()
+            spans = batch.column(1)  # ListArray<StructArray>
+            # raw offsets index into .values absolutely (correct for
+            # sliced arrays too); a NULL span list has an empty range
+            off = spans.offsets.to_pylist()
+            vals = spans.values
+            kinds = vals.field("kind").to_pylist()
+            texts = vals.field("text").to_pylist()
+            soffs = vals.field("offset").to_pylist()
+            c_doc: list[str] = []
+            c_si: list[int] = []
+            c_off: list[int] = []
+            c_surface: list[str] = []
+            c_id: list[str] = []
+            c_mt: list[str] = []
+            for i, did in enumerate(doc_ids):
+                base = off[i]
+                for j in range(base, off[i + 1]):
+                    if kinds[j] != "text" or not texts[j]:
                         continue  # media spans pass through untouched
-                    for surface, curie, mtype in _scan_text(span["text"], d):
-                        rows.append(
-                            (doc_id, si, int(span["offset"]), surface, curie, mtype)
-                        )
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in MENTION_SCHEMA.fields],
+                    si = j - base
+                    so = int(soffs[j])
+                    for surface, curie, mtype in _scan_text(texts[j], d):
+                        c_doc.append(did)
+                        c_si.append(si)
+                        c_off.append(so)
+                        c_surface.append(surface)
+                        c_id.append(curie)
+                        c_mt.append(mtype)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c_doc, pa.string()),
+                    pa.array(c_si, pa.int32()),
+                    pa.array(c_off, pa.int32()),
+                    pa.array(c_surface, pa.string()),
+                    pa.array(c_id, pa.string()),
+                    pa.array(c_mt, pa.string()),
+                ],
+                schema=out_schema,
             )
 
-    return documents.select("doc_id", "spans").mapInPandas(run, MENTION_SCHEMA)
+    # mapInArrow, not mapInPandas: the spans column is a list<struct>,
+    # which the pandas path converts to a Python dict per span — at
+    # bench scale that conversion cost more than the matching itself.
+    # Arrow hands us the list offsets and the flat kind/text/offset
+    # child arrays directly.
+    return documents.select("doc_id", "spans").mapInArrow(run, MENTION_SCHEMA)
 
 
 def rank_candidates(mentions: DataFrame) -> DataFrame:
