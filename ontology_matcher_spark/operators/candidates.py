@@ -53,24 +53,41 @@ def generate_candidates(
     edges = xref_edges.where(F.col("dst_ns").isin(choices)).select(
         "src_curie", "dst_ns", "dst_curie"
     )
-    joined = m.join(
-        F.broadcast(edges), m.raw_id == edges.src_curie, "left"
+    # pre-aggregate the DICTIONARY side (ontology-bounded: one row per
+    # source curie), then ONE 1:1 broadcast join against the mention
+    # scan — the round-5 shape joined the edge list row-per-edge and
+    # re-aggregated per mention, which shuffled |mentions| × edge
+    # multiplicity rows into a |mentions|-group collect_set aggregation
+    # (the widest exchange of this operator; at 10^12 mentions it is
+    # corpus-bounded). n_hits stays the JOIN-ROW count (edge-list
+    # multiset semantics, own namespace included — the reference's
+    # "No results found" is an empty mappingResponseList,
+    # disease/__init__.py:123-126).
+    eagg = edges.groupBy("src_curie").agg(
+        F.count("dst_curie").alias("__n_hits"),
+        *[
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("dst_ns") == ns, F.col("dst_curie"))
+                )
+            ).alias(f"__e_{otype.choices.index(ns)}")
+            for ns in choices
+        ],
     )
-
-    aggs = [
-        F.sort_array(
-            F.collect_set(
-                F.when(F.col("dst_ns") == ns, F.col("dst_curie"))
+    _EMPTY = F.array().cast("array<string>")
+    wide = m.join(
+        F.broadcast(eagg), m.raw_id == eagg.src_curie, "left"
+    ).select(
+        "idx",
+        "raw_id",
+        "ns",
+        F.coalesce("__n_hits", F.lit(0)).alias("n_hits"),
+        *[
+            F.coalesce(f"__e_{otype.choices.index(ns)}", _EMPTY).alias(
+                cand_col(otype, ns)
             )
-        ).alias(cand_col(otype, ns))
-        for ns in choices
-    ]
-    # n_hits counts ALL distance-1 neighbours in accepted namespaces
-    # (own namespace included): the reference's "No results found" is
-    # an empty mappingResponseList, not empty per-choice candidates
-    # (disease/__init__.py:123-126).
-    wide = joined.groupBy("idx", "raw_id", "ns").agg(
-        F.count("dst_curie").alias("n_hits"), *aggs
+            for ns in choices
+        ],
     )
 
     # own-namespace column := [raw_id]

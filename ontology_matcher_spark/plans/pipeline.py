@@ -388,6 +388,16 @@ class PipelineRun:
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = build()
+        if partition_by:
+            # cluster rows by the partition columns before a
+            # partitionBy write: without it every write task opens a
+            # file per partition value (tasks × values small files —
+            # the round-5 formatted stage wrote ~320 files for 33k
+            # rows, paid again by every downstream scan's listing).
+            # REBALANCE is AQE-sized: it coalesces to the advisory
+            # partition size locally and splits skewed partitions at
+            # scale, so this is not a constant tuned for local mode.
+            df = df.hint("rebalance", *partition_by)
         obs = Observation(f"obs_{name}_{uuid.uuid4().hex[:6]}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         writer = df.write.mode("overwrite")
