@@ -15,10 +15,12 @@ pure stdlib (no image libraries in this container):
   pixel-value histograms (8 bins × RGB = 24-dim float embedding,
   L1-normalized) through the production mapInPandas path.
 
-Audio/video feature extraction still needs codec libraries absent
-here; those kinds yield NULL features with real header metadata.
-`extract_media_features(fake=True)` remains as the deterministic
-hash-seeded featurizer for plumbing tests.
+Audio: uncompressed PCM WAV gets REAL features via the stdlib RIFF
+parse (`wav_features`: channels/rate/bits/duration + a 16-bit
+|amplitude| histogram). COMPRESSED audio and video still need codec
+libraries absent here; those kinds yield NULL features with real
+header metadata. `extract_media_features(fake=True)` remains as the
+deterministic hash-seeded featurizer for plumbing tests.
 """
 
 from __future__ import annotations
@@ -141,7 +143,15 @@ def wav_features(data: bytes, bins: int = 8) -> list[float] | None:
         round(hdr["duration_sec"], 6),
     ]
     hist = [0.0] * bins
-    n_samp = hdr["n_frames"] * hdr["channels"]
+    # clamp to the samples the payload actually holds: a header whose
+    # block_align disagrees with channels*bits/8 (corrupt/hostile WAV)
+    # otherwise makes frombuffer request more bytes than exist and one
+    # bad span aborts the whole job — undecodable media must carry
+    # NULL/partial features, never raise
+    n_samp = min(
+        hdr["n_frames"] * hdr["channels"],
+        max(0, len(data) - hdr["data_offset"]) // 2,
+    )
     if hdr["bits_per_sample"] == 16 and n_samp:
         samples = np.frombuffer(
             data, dtype="<i2", count=n_samp, offset=hdr["data_offset"]

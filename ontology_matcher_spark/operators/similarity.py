@@ -702,6 +702,7 @@ def ivf_probe_batch(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     broadcast_queries: bool = False,
+    salt_partitions: int = 4,
 ) -> DataFrame:
     """`ivf_probe` for LARGE query tables — the offline all-vs-index
     shape: the query table is NEVER collected. Per-query nprobe
@@ -712,9 +713,17 @@ def ivf_probe_batch(
     static IN filter so partition pruning still holds. Same output
     contract and same results as `ivf_probe` (shared tie rule).
 
+    ``salt_partitions``: the shuffle join's key is salted — index rows
+    replicated across the salts, each query hashed (deterministically,
+    from its id) to one — because ``cluster`` alone caps join
+    parallelism at n_centroids and hot clusters skew it. Results are
+    unchanged (each query still meets every row of its probed
+    clusters exactly once). Raise it for large skewed runs alongside
+    AQE skew-join handling; 1 disables.
+
     ``broadcast_queries=True`` broadcast-joins the exploded query
-    side (right when it fits — serving-sized batches); the default
-    shuffle join is the 10^9-query shape."""
+    side (right when it fits — serving-sized batches; no shuffle, so
+    no salt); the default shuffle join is the 10^9-query shape."""
     import json
 
     from ontology_matcher_spark.functions.fs import fs_read_text
@@ -737,8 +746,21 @@ def ivf_probe_batch(
         return _empty_topk(spark, queries, query_id_col, path)
     vb = spark.read.parquet(path).where(F.col("cluster").isin(*sorted(probed)))
     if broadcast_queries:
-        qp = F.broadcast(qp)
-    cand = vb.join(qp, "cluster").dropDuplicates([query_id_col, "id"])
+        cand = vb.join(F.broadcast(qp), "cluster").dropDuplicates(
+            [query_id_col, "id"]
+        )
+    else:
+        s = max(1, salt_partitions)
+        vb = vb.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        )
+        qp = qp.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(s)).cast("int"),
+        )
+        cand = vb.join(qp, ["cluster", "__salt"]).dropDuplicates(
+            [query_id_col, "id"]
+        )
     scored = cand.select(
         query_id_col,
         "id",

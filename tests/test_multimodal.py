@@ -268,6 +268,31 @@ def test_wav_header_and_features_pinned():
     assert wav_features(b"\x89PNG\r\n\x1a\n" + b"0" * 40) is None
 
 
+def test_wav_features_inconsistent_block_align_clamped():
+    """A header whose block_align disagrees with channels*bits/8
+    (stereo 16-bit but block_align=2) used to make np.frombuffer
+    request more bytes than the payload holds and raise — one corrupt
+    span aborting the job. The sample count is clamped to the payload;
+    the row still carries the container facts + a valid histogram."""
+    import struct
+
+    from ontology_matcher_spark.operators.multimodal import wav_features
+
+    payload = struct.pack("<64h", *([1000] * 64))  # 64 samples = 128 B
+    # fmt says channels=2, bits=16 (true bytes/frame 4) but
+    # block_align=2 → n_frames = 128//2 = 64 → n_samp = 128 requests
+    # 256 bytes from a 128-byte payload without the clamp
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(payload))
+    )
+    feats = wav_features(hdr + payload)
+    assert feats is not None
+    assert feats[0] == 2.0 and feats[2] == 16.0  # container facts kept
+    assert abs(sum(feats[4:]) - 1.0) < 1e-6  # histogram over clamped samples
+
+
 def test_wav_through_media_embeddings(spark):
     """The audio path through the production mapInPandas surface: a
     file://-backed WAV span yields real features (no longer the NULL
