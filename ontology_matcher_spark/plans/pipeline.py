@@ -320,7 +320,11 @@ def build_pipeline_lazy(
     canon = canonical_assignment_by_label(
         xref_pairs(formatted), terms.select("curie", "label"), defaults
     )
-    canon = materialize(canon, "canon")
+    # no materialize for canon: build_triples_multi consumes it once,
+    # and its own inputs are already cheap to re-reference (the CC
+    # mapping is either driver-created via the union-find fast path or
+    # parquet-backed by the star loop; formatted is materialized above)
+    # — dropping the round-trip removes one write+read job per run
     return build_triples_multi(formatted, terms, tnames, canon)
 
 
