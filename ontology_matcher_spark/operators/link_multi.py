@@ -271,22 +271,21 @@ def link_mentions_multi(
     )
 
     # ---- records: first input row per (label, id) --------------------
-    # min_by(struct, idx), not a row_number window: the agg combines
-    # map-side (no per-partition sort, no full shuffle of losers) —
-    # the first-row-wins lookup over 10^12 mentions is itself a big agg
+    # min_by per column, not a row_number window: the agg combines
+    # map-side (no full shuffle of losers) — the first-row-wins lookup
+    # over 10^12 mentions is itself a big agg. One min_by PER COLUMN
+    # rather than one over a 9-column struct: idx is unique, so every
+    # column independently picks the same winning row, and separate
+    # aggregate expressions are prunable — a consumer that only reads
+    # r_label/r_xrefs (the lazy triples pipeline after its projection)
+    # aggregates 2 strings instead of 9.
     records = df.groupBy(F.col("label").alias("r_key_label"), "id").agg(
-        F.min_by(
-            F.struct(
-                *[
-                    F.coalesce(F.col(c), F.lit("")).alias(c)
-                    for c in _RECORD_COLS
-                ]
-            ),
-            F.col("idx"),
-        ).alias("__r")
-    ).select(
-        "r_key_label",
-        *[F.col(f"__r.{c}").alias(f"r_{c}") for c in _RECORD_COLS],
+        *[
+            F.min_by(
+                F.coalesce(F.col(c), F.lit("")), F.col("idx")
+            ).alias(f"r_{c}")
+            for c in _RECORD_COLS
+        ]
     )
 
     # ---- ONE records join + ONE metadata join for every row ----------

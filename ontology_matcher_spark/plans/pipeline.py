@@ -314,7 +314,18 @@ def build_pipeline_lazy(
     formatted = link_mentions_multi(
         mentions, edges, terms, sel_types, strategy
     )[0]
-    formatted = materialize(formatted, "formatted")
+    # project BEFORE the materialize: the lazy path's only consumers
+    # (xref_pairs + build_triples_multi) read {id, raw_id, label,
+    # xrefs} — pruning here lets Catalyst skip computing the metadata
+    # string columns entirely AND shrinks the round-trip bytes (the
+    # materialize write is this sandbox's main non-scaling cost:
+    # first-touch tmpfs pages run at ~4 MB/s). The checkpointed
+    # run_pipeline still writes the full formatted table — that stage
+    # IS the deliverable there; here it is an internal intermediate of
+    # a triples-count job. n_triples is unaffected by construction.
+    formatted = materialize(
+        formatted.select("id", "raw_id", "label", "xrefs"), "formatted"
+    )
 
     defaults = {t: ONTOLOGY_TYPES[t].default for t in tnames}
     canon = canonical_assignment_by_label(
