@@ -152,28 +152,27 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    # fast-path guard fused with its collect: limit(threshold+1) stops
-    # early, so one BOUNDED job both answers "is the graph small?" and
-    # (when yes) already holds the complete edge list — the round-5
-    # shape paid a full-scan count and then a second full collect. At
-    # 100 TB the limit is strictly cheaper than the count (bounded work
-    # vs a full scan); when the graph is big the wasted collect is
-    # capped at threshold+1 rows (~30 MB). An A/B with
-    # distinct-materialize-first instead doubled bench kg_cc — the
-    # distinct round-trip costs more than it saves on small graphs;
-    # hugely-duplicated mention-derived lists still get the distinct
-    # second chance below.
+    # fast-path guard fused with its collect in ONE action:
+    # distinct().limit(threshold+1).toPandas() — the distinct runs as
+    # a normal parallel shuffle (map-side partial dedup; the output is
+    # ontology-bounded for mention-derived lists even when the raw
+    # multiset is corpus-sized), the limit caps what ever reaches the
+    # driver, and when fewer than threshold+1 rows come back we
+    # already HOLD the complete distinct edge set. Earlier shapes
+    # measured this round: full-scan count + second collect (r5, two
+    # full passes), distinct-materialize-first (3 actions — doubled
+    # bench kg_cc), raw-limit first (wasted a 500k-row serial collect
+    # on every big-raw/small-distinct graph, the lazy pipeline's
+    # common case). Truly big distinct graphs fall through to the star
+    # loop, which re-runs the distinct into its materialized round-0
+    # table — amortized by the loop it feeds.
     if small_graph_threshold:
-        head = raw.limit(small_graph_threshold + 1).toPandas()
+        head = raw.distinct().limit(small_graph_threshold + 1).toPandas()
         if len(head) <= small_graph_threshold:
             return _driver_union_find(raw, pdf=head)
     e = raw.distinct()
     if small_graph_threshold:
         e = materialize_at(e, os.path.join(run_dir, "edges0"))
-        if e.count() <= small_graph_threshold:
-            out = _driver_union_find(e)
-            drop_materialized(os.path.join(run_dir, "edges0"))
-            return out
     all_nodes = materialize_at(
         _sym(e).select(F.col("u").alias("node")).distinct(),
         os.path.join(run_dir, "nodes"),
