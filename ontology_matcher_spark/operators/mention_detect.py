@@ -423,16 +423,33 @@ def rank_candidates(mentions: DataFrame) -> DataFrame:
 
 
 def best_candidate_per_mention(mentions: DataFrame) -> DataFrame:
-    """One winning candidate per (doc_id, span_idx, surface) via
-    row_number with a total ordering (deterministic)."""
-    from pyspark.sql import Window
+    """One winning candidate per (doc_id, span_idx, surface),
+    deterministic on (match_rank, id).
 
-    w = Window.partitionBy("doc_id", "span_idx", "surface").orderBy(
-        "match_rank", "id"
-    )
-    return (
+    min(struct) aggregate, not a row_number window: the aggregate
+    combines map-side, so the shuffle carries one row per mention per
+    partition instead of EVERY candidate row (the window shipped and
+    sorted the full candidate multiset — the detection stage's widest
+    exchange). The struct's field order (match_rank, id, offset,
+    match_type) is the total order; rows tying on (match_rank, id)
+    are identical in the remaining fields (offset is constant per
+    span, match_type is a function of match_rank), so the winner
+    matches the window form exactly."""
+    best = (
         rank_candidates(mentions)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy("doc_id", "span_idx", "surface")
+        .agg(
+            F.min(
+                F.struct("match_rank", "id", "offset", "match_type")
+            ).alias("__b")
+        )
+    )
+    return best.select(
+        "doc_id",
+        "span_idx",
+        F.col("__b.offset").alias("offset"),
+        "surface",
+        F.col("__b.id").alias("id"),
+        F.col("__b.match_type").alias("match_type"),
+        F.col("__b.match_rank").alias("match_rank"),
     )
