@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd parquet: smaller stage/artifact writes for a bit more
+        # CPU — an interleaved same-session A/B on the checkpointed
+        # pipeline measured zstd consistently ~5% faster end-to-end
+        # here (fewer fresh tmpfs pages, this sandbox's write wall);
+        # also the standard recommendation for cluster storage
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
